@@ -1,0 +1,16 @@
+from srl_tpu.envs.mobile_robot import (
+    MobileRobotEnv,
+    MobileRobot1DEnv,
+    MobileRobot2TargetEnv,
+    MobileRobotLineTargetEnv,
+)
+from srl_tpu.envs.registry import registered_env, make_env
+
+__all__ = [
+    "MobileRobotEnv",
+    "MobileRobot1DEnv",
+    "MobileRobot2TargetEnv",
+    "MobileRobotLineTargetEnv",
+    "registered_env",
+    "make_env",
+]
