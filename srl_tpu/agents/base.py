@@ -1,0 +1,92 @@
+"""Base RL agent API.
+
+Mirrors the reference's ``BaseRLObject`` surface (rl_baselines/base_classes.py:10-102):
+``train/save/load/getAction/getActionProba/customArguments/getOptParam/
+parserHyperParam/makeEnv`` — re-shaped for functional on-device training
+(agents own a jitted ``train_iteration`` instead of wrapping TF sessions).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+class BaseRLAgent:
+    """Common interface all algorithms implement."""
+
+    name = "base"
+    LOG_INTERVAL = 10
+    SAVE_INTERVAL = 1
+
+    def __init__(self):
+        self.state = None  # algorithm-specific train-state pytree
+
+    # ---- CLI integration (base_classes.py:30-81) -----------------------
+    def customArguments(self, parser):
+        parser.add_argument(
+            "--num-envs",
+            help="Number of batched environments (replaces --num-cpu)",
+            type=int,
+            default=None,
+        )
+        return parser
+
+    @classmethod
+    def getOptParam(cls) -> Optional[Dict[str, tuple]]:
+        return None
+
+    @classmethod
+    def parserHyperParam(cls, hyperparam):
+        """Parse 'k:v' strings against getOptParam declarations
+        (base_classes.py:62-81)."""
+        opt_param = cls.getOptParam()
+        parsed = {}
+        if hyperparam:
+            assert opt_param is not None, (
+                "Error: cannot parse hyperparameters for {}".format(cls.name)
+            )
+            for kv in hyperparam:
+                assert ":" in kv, "Error: hyperparam must be of format 'name:value'"
+                k, v = kv.split(":", 1)
+                assert k in opt_param, f"Error: unknown hyperparam {k}"
+                parsed[k] = opt_param[k][0](v)
+        return parsed
+
+    # ---- persistence (base_classes.py:121-170) --------------------------
+    def save(self, save_path: str, _locals=None):
+        raise NotImplementedError
+
+    @classmethod
+    def load(cls, load_path: str, args=None):
+        raise NotImplementedError
+
+    # ---- acting ---------------------------------------------------------
+    def getAction(self, observation, dones=None, deterministic: bool = True):
+        raise NotImplementedError
+
+    def getActionProba(self, observation, dones=None):
+        raise NotImplementedError
+
+    # ---- training --------------------------------------------------------
+    def train(self, args, callback=None, env_kwargs=None, train_kwargs=None):
+        raise NotImplementedError
+
+    # ---- shared pickle helpers -------------------------------------------
+    @staticmethod
+    def _to_numpy(tree):
+        return jax.tree.map(lambda x: np.asarray(x), tree)
+
+    @staticmethod
+    def _save_pickle(path: str, payload: dict):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    @staticmethod
+    def _load_pickle(path: str) -> dict:
+        with open(path, "rb") as f:
+            return pickle.load(f)

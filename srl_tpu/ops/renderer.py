@@ -1,0 +1,138 @@
+"""Batched on-device rasterizer for raw_pixels observations.
+
+Replaces PyBullet's TinyRenderer camera (``p.getCameraImage``,
+mobile_robot_env.py:307-309) with an analytic per-pixel shader: the static
+scene background (ground plane + walls) is precomputed on the host once per
+env configuration, and only the dynamic sprites (robot box, target cylinders)
+are composited per env per step — a handful of fused elementwise ops over a
+[H, W] grid, vmapped over thousands of envs. No triangles, no z-buffer: the
+reference scenes are top-down views of known primitives.
+
+Scene constants come from the reference URDFs: walls are 4 x 0.1 x 0.1 boxes
+(urdf/wall.urdf) colored red/black/green/blue (mobile_robot_env.py:186-202),
+the target is a yellow button cylinder scaled 2x (urdf/cylinder.urdf), the
+line target a 4 x 0.5 yellow band (urdf/wall_target.urdf,
+mobile_robot_line_target_env.py:62-65), and the robot is the racecar URDF
+(approximated by its 0.65 x 0.2 chassis footprint, mobile_robot_env.py:27-28).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srl_tpu.ops.camera import ground_grid
+
+# Colors (linear 0..1, shaded flat — the top-down sun of TinyRenderer).
+GROUND_LIGHT = np.array([0.93, 0.93, 0.93], np.float32)
+GROUND_DARK = np.array([0.78, 0.78, 0.78], np.float32)
+VOID_COLOR = np.array([0.55, 0.65, 0.8], np.float32)  # sky, for rays off-plane
+WALL_COLORS = {
+    "left": np.array([0.8, 0.0, 0.0], np.float32),  # red
+    "bottom": np.array([0.05, 0.05, 0.05], np.float32),  # black (default)
+    "right": np.array([0.0, 0.8, 0.0], np.float32),  # green
+    "top": np.array([0.0, 0.0, 0.8], np.float32),  # blue
+}
+TARGET_YELLOW = np.array([0.95, 0.95, 0.05], np.float32)
+TARGET_RED = np.array([0.8, 0.05, 0.05], np.float32)
+ROBOT_BODY = np.array([0.15, 0.15, 0.35], np.float32)
+ROBOT_WHEEL = np.array([0.05, 0.05, 0.05], np.float32)
+
+TARGET_RADIUS = 0.25  # button.dae base scaled 2x (urdf/cylinder.urdf)
+WALL_HALF_W = 0.05  # wall.urdf box 4 x 0.1
+LINE_TARGET_HALF_W = 0.25  # wall_target.urdf box 4 x 0.5
+ROBOT_HALF_L = 0.325  # ROBOT_LENGTH / 2 (x)
+ROBOT_HALF_W = 0.10  # ROBOT_WIDTH / 2 (y)
+
+
+@lru_cache(maxsize=16)
+def _mobile_robot_static(dim: int, height: int, width: int):
+    """(grid [H,W,2], background [H,W,3]) numpy constants for a config."""
+    # Camera: target (2,2,0) (or (2,0,0) for 1D), dist 4.4, yaw 90,
+    # pitch -90, fov 60 (mobile_robot_env.py:76-84,297-306;
+    # 1D: mobile_robot_1D_env.py:33).
+    target = (2.0, 2.0, 0.0) if dim == 2 else (2.0, 0.0, 0.0)
+    grid = ground_grid(target, 4.4, 90.0, -90.0, 0.0, 60.0, width, height)
+
+    x = grid[..., 0]
+    y = grid[..., 1]
+    valid = np.isfinite(x)
+    xs = np.nan_to_num(x)
+    ys = np.nan_to_num(y)
+
+    # Checkerboard ground (plane.urdf's checker texture).
+    checker = ((np.floor(xs / 0.5) + np.floor(ys / 0.5)) % 2).astype(np.float32)
+    bg = (
+        checker[..., None] * GROUND_DARK[None, None]
+        + (1 - checker[..., None]) * GROUND_LIGHT[None, None]
+    )
+
+    def paint_box(img, cx, cy, hx, hy, color):
+        mask = (np.abs(xs - cx) <= hx) & (np.abs(ys - cy) <= hy) & valid
+        return np.where(mask[..., None], color[None, None], img)
+
+    # Walls (mobile_robot_env.py:189-204; 1D has only the left wall,
+    # mobile_robot_1D_env.py:84-88).
+    bg = paint_box(bg, 2.0, 0.0, 2.0, WALL_HALF_W, WALL_COLORS["left"])
+    if dim == 2:
+        bg = paint_box(bg, 4.0, 2.0, WALL_HALF_W, 2.0, WALL_COLORS["bottom"])
+        bg = paint_box(bg, 2.0, 4.0, 2.0, WALL_HALF_W, WALL_COLORS["right"])
+        bg = paint_box(bg, 0.0, 2.0, WALL_HALF_W, 2.0, WALL_COLORS["top"])
+
+    bg = np.where(valid[..., None], bg, VOID_COLOR[None, None])
+    return grid, bg.astype(np.float32)
+
+
+def render_mobile_robot(env, state) -> jax.Array:
+    """uint8 [H, W, 3] image for one env state (vmap over the batch)."""
+    from srl_tpu.envs.mobile_robot import RENDER_HEIGHT, RENDER_WIDTH
+
+    grid_np, bg_np = _mobile_robot_static(env.dim, RENDER_HEIGHT, RENDER_WIDTH)
+    grid = jnp.asarray(grid_np)
+    img = jnp.asarray(bg_np)
+    x = grid[..., 0]
+    y = grid[..., 1]
+
+    def paint_disk(img, center, radius, color):
+        d2 = jnp.square(x - center[0]) + jnp.square(y - center[1])
+        mask = d2 <= radius * radius
+        return jnp.where(mask[..., None], jnp.asarray(color)[None, None], img)
+
+    def paint_box(img, center, hx, hy, color):
+        mask = (jnp.abs(x - center[0]) <= hx) & (jnp.abs(y - center[1]) <= hy)
+        return jnp.where(mask[..., None], jnp.asarray(color)[None, None], img)
+
+    # Targets.
+    if env.line_target:
+        # Yellow wall band spanning y at the target x
+        # (mobile_robot_line_target_env.py:62-65).
+        tx = state.targets[0, 0]
+        img = paint_box(img, (tx, 2.0), LINE_TARGET_HALF_W, 2.0, TARGET_YELLOW)
+    else:
+        img = paint_disk(img, state.targets[0], TARGET_RADIUS, TARGET_YELLOW)
+        if env.n_targets > 1:
+            # Second target rendered red (mobile_robot_2target_env.py:70-71).
+            img = paint_disk(img, state.targets[1], TARGET_RADIUS, TARGET_RED)
+
+    # Robot: racecar chassis + four wheel pads.
+    rp = state.robot_pos
+    img = paint_box(img, rp, ROBOT_HALF_L, ROBOT_HALF_W, ROBOT_BODY)
+    for sx in (-0.22, 0.22):
+        for sy in (-1.0, 1.0):
+            img = paint_box(
+                img,
+                (rp[0] + sx, rp[1] + sy * ROBOT_HALF_W),
+                0.08,
+                0.03,
+                ROBOT_WHEEL,
+            )
+
+    out = jnp.clip(img * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    if env.fpv:
+        # First-person second camera (mobile_robot_env.py:315-332) lands with
+        # the general ray-traced renderer; stack a placeholder duplicate so
+        # the 6-channel contract holds.
+        out = jnp.concatenate([out, out], axis=-1)
+    return out

@@ -1,0 +1,98 @@
+"""PPO2 on-device actor-learner tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srl_tpu.agents.ppo import PPO2, PPOConfig
+from srl_tpu.envs.mobile_robot import MobileRobotEnv
+
+
+@pytest.mark.fast
+def test_ppo_smoke_discrete():
+    env = MobileRobotEnv()
+    agent = PPO2(env=env, num_envs=8, config=PPOConfig(n_steps=32))
+    rewards = []
+    agent.learn(
+        total_timesteps=32 * 8 * 3,
+        seed=0,
+        callback=lambda l, g: rewards.append(l["metrics"]["mean_reward_per_step"]),
+    )
+    assert len(rewards) == 3
+    assert all(np.isfinite(float(r)) for r in rewards)
+
+
+@pytest.mark.fast
+def test_ppo_smoke_continuous():
+    env = MobileRobotEnv(is_discrete=False)
+    agent = PPO2(env=env, num_envs=8, config=PPOConfig(n_steps=32))
+    state = agent.learn(total_timesteps=32 * 8 * 2, seed=0)
+    assert int(state.update_idx) == 2
+
+
+@pytest.mark.fast
+def test_ppo_save_load_roundtrip(tmp_path):
+    env = MobileRobotEnv()
+    agent = PPO2(env=env, num_envs=4, config=PPOConfig(n_steps=16))
+    agent.learn(total_timesteps=16 * 4, seed=1)
+    path = str(tmp_path / "ppo2_model.pkl")
+    agent.save(path)
+    loaded = PPO2.load(path, env=MobileRobotEnv())
+    obs = np.zeros((1, 2), np.float32)
+    a1 = agent.getAction(obs, deterministic=True)
+    a2 = loaded.getAction(obs, deterministic=True)
+    np.testing.assert_array_equal(a1, a2)
+    p1 = agent.getActionProba(obs)
+    p2 = loaded.getActionProba(obs)
+    np.testing.assert_allclose(p1, p2, atol=1e-6)
+
+
+@pytest.mark.fast
+def test_gae_matches_manual():
+    from srl_tpu.agents.common import compute_gae
+
+    T, N = 4, 2
+    rng = np.random.RandomState(0)
+    rewards = rng.randn(T, N).astype(np.float32)
+    values = rng.randn(T, N).astype(np.float32)
+    dones = np.zeros((T, N), bool)
+    dones[2, 0] = True
+    last_value = rng.randn(N).astype(np.float32)
+    gamma, lam = 0.99, 0.95
+
+    adv, ret = compute_gae(
+        jnp.asarray(rewards), jnp.asarray(values), jnp.asarray(dones),
+        jnp.asarray(last_value), gamma, lam,
+    )
+
+    expected = np.zeros((T, N), np.float32)
+    gae = np.zeros(N, np.float32)
+    vnext = last_value.copy()
+    for t in reversed(range(T)):
+        nd = 1.0 - dones[t].astype(np.float32)
+        delta = rewards[t] + gamma * vnext * nd - values[t]
+        gae = delta + gamma * lam * nd * gae
+        expected[t] = gae
+        vnext = values[t]
+        gae = gae  # carried
+    np.testing.assert_allclose(np.asarray(adv), expected, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ret), expected + values, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_ppo_learns_mobile_robot():
+    """Return improves with training on the quickstart config
+    (README.md:36: MobileRobot ground_truth PPO2)."""
+    env = MobileRobotEnv()
+    agent = PPO2(env=env, num_envs=32)
+    returns = []
+
+    def cb(l, g):
+        ep = l["episode_returns"]
+        if len(ep) >= 10:
+            returns.append(np.mean(ep[-10:]))
+
+    agent.learn(total_timesteps=200_000, seed=0, callback=cb)
+    early = np.mean(returns[:3])
+    late = np.mean(returns[-3:])
+    assert late > early + 20, f"no learning: early={early:.1f} late={late:.1f}"
