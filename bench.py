@@ -1,0 +1,93 @@
+"""Headline benchmark: aggregate env-steps/s/chip on batched robotics envs.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "env-steps/s/chip", "vs_baseline": N}
+
+Baseline: the reference's 250 FPS simulated-env throughput on an 8-core CPU
+(README.md:9, BASELINE.md). This benchmark steps the pure-JAX env kernels
+(dynamics + ground-truth observation, the quickstart observation mode) in
+lockstep under jit+vmap+scan on one chip, mixing MobileRobot and Kuka
+families when available.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_env(env, num_envs: int, n_steps: int, n_iters: int = 5) -> tuple:
+    """Returns (total_steps, seconds) for jitted scan rollouts."""
+    from srl_tpu.core.env import VecEnv
+
+    vec = VecEnv(env, num_envs)
+    vstate, _ = vec.reset(jax.random.PRNGKey(0))
+    n_act = getattr(env.action_space, "n", None)
+
+    @jax.jit
+    def run(vstate, key):
+        def body(carry, _):
+            vs, k = carry
+            k, sub = jax.random.split(k)
+            if n_act is not None:
+                actions = jax.random.randint(sub, (num_envs,), 0, n_act)
+            else:
+                actions = jax.random.uniform(
+                    sub, (num_envs,) + env.action_space.shape, minval=-1, maxval=1
+                )
+            vs, tr = vec.step(vs, actions)
+            return (vs, k), tr.reward
+
+        (vs, _), rewards = jax.lax.scan(body, (vstate, key), None, length=n_steps)
+        return vs, jnp.sum(rewards)
+
+    # Warmup/compile.
+    vstate, r = run(vstate, jax.random.PRNGKey(1))
+    jax.block_until_ready(r)
+
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        vstate, r = run(vstate, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+    return num_envs * n_steps * n_iters, dt
+
+
+def main():
+    from srl_tpu.envs.mobile_robot import MobileRobotEnv
+
+    total_steps = 0
+    total_time = 0.0
+    parts = {}
+
+    steps, dt = bench_env(MobileRobotEnv(), num_envs=8192, n_steps=256)
+    parts["mobile_robot"] = steps / dt
+    total_steps += steps
+    total_time += dt
+
+    try:
+        from srl_tpu.envs.kuka import KukaButtonEnv
+
+        steps, dt = bench_env(KukaButtonEnv(), num_envs=4096, n_steps=128)
+        parts["kuka_button"] = steps / dt
+        total_steps += steps
+        total_time += dt
+    except ImportError:
+        pass
+
+    value = total_steps / total_time
+    print(
+        json.dumps(
+            {
+                "metric": "env-steps/s/chip (batched MobileRobot+Kuka, ground-truth obs)",
+                "value": round(value, 1),
+                "unit": "env-steps/s/chip",
+                "vs_baseline": round(value / 250.0, 1),
+                "parts": {k: round(v, 1) for k, v in parts.items()},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

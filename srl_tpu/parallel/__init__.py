@@ -1,0 +1,3 @@
+from srl_tpu.parallel.mesh import make_mesh, shard_batch, shard_params, shard_ppo_state
+
+__all__ = ["make_mesh", "shard_batch", "shard_params", "shard_ppo_state"]
