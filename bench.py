@@ -68,7 +68,9 @@ def main():
     try:
         from srl_tpu.envs.kuka import KukaButtonEnv
 
-        steps, dt = bench_env(KukaButtonEnv(), num_envs=4096, n_steps=128)
+        steps, dt = bench_env(
+            KukaButtonEnv(srl_model="ground_truth"), num_envs=4096, n_steps=128
+        )
         parts["kuka_button"] = steps / dt
         total_steps += steps
         total_time += dt

@@ -4,6 +4,12 @@ from srl_tpu.envs.mobile_robot import (
     MobileRobot2TargetEnv,
     MobileRobotLineTargetEnv,
 )
+from srl_tpu.envs.kuka import (
+    KukaButtonEnv,
+    KukaRandButtonEnv,
+    Kuka2ButtonEnv,
+    KukaMovingButtonEnv,
+)
 from srl_tpu.envs.registry import registered_env, make_env
 
 __all__ = [
@@ -11,6 +17,10 @@ __all__ = [
     "MobileRobot1DEnv",
     "MobileRobot2TargetEnv",
     "MobileRobotLineTargetEnv",
+    "KukaButtonEnv",
+    "KukaRandButtonEnv",
+    "Kuka2ButtonEnv",
+    "KukaMovingButtonEnv",
     "registered_env",
     "make_env",
 ]

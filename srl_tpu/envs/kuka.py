@@ -1,0 +1,474 @@
+"""Kuka iiwa button-pushing environment family as batched pure-JAX kernels.
+
+TPU-native re-design of the reference PyBullet envs
+(environments/kuka_gym/*.py): the arm is the analytic FK/DLS-IK/servo chain
+from srl_tpu.ops.kinematics (replacing p.calculateInverseKinematics +
+setJointMotorControl2 + stepSimulation), and button/table contacts are
+geometric predicates over the gripper-tip position (replacing
+p.getContactPoints — the reference only ever tests contact existence,
+kuka_button_gym_env.py:433-437).
+
+Variant map:
+  * KukaButtonGymEnv        (kuka_button_gym_env.py)        -> n_buttons=1
+  * Kuka2ButtonGymEnv       (kuka_2button_gym_env.py)       -> n_buttons=2
+  * KukaRandButtonGymEnv    (kuka_rand_button_gym_env.py)   -> distractors
+  * KukaMovingButtonGymEnv  (kuka_moving_button_gym_env.py) -> moving button
+
+Semantics preserved (same constants/formulas):
+  * discrete actions ±DELTA_V(0.03)+N(0,0.01) on x/y, down-only z with
+    force_down; continuous DELTA_V_CONTINUOUS(0.0035)+N(0,1e-4)
+    (kuka_button_gym_env.py:27-33,302-335);
+  * workspace clipping of the integrated effector target (kuka.py:46-53,
+    133-139), small constraints unless random_target;
+  * reward +1 per button-contact step, 5 contacts terminate; -1 and
+    outside-counter when distance > max_distance or table contact; table
+    contact terminates; shaped variants (:428-463);
+  * reset = deterministic 500-step settle (precomputed constant) + 5 random
+    init actions (:242-269);
+  * episode cap 1000 steps (1500 moving/2-button) (:17,
+    kuka_2button_gym_env.py:3).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from srl_tpu.core.env import TpuEnv
+from srl_tpu.core.spaces import Box, Discrete, Space
+from srl_tpu.ops import kinematics as kin
+
+# Constants mirrored from kuka_button_gym_env.py:16-35.
+MAX_STEPS = 1000
+MAX_STEPS_LONG = 1500
+N_CONTACTS_BEFORE_TERMINATION = 5
+N_STEPS_OUTSIDE_SAFETY_SPHERE = 5000
+RENDER_WIDTH = 224
+RENDER_HEIGHT = 224
+Z_TABLE = -0.2
+N_DISCRETE_ACTIONS = 6
+DELTA_V = 0.03
+DELTA_V_CONTINUOUS = 0.0035
+DELTA_THETA = 0.1
+NOISE_STD = 0.01
+NOISE_STD_CONTINUOUS = 0.0001
+NOISE_STD_JOINTS = 0.002
+N_RANDOM_ACTIONS_AT_INIT = 5
+BUTTON_DISTANCE_HEIGHT = 0.28
+BUTTON_RADIUS = 0.1  # simple_button.urdf cylinder footprint
+CONTACT_EPS = 0.01
+# Moving-button variant (kuka_moving_button_gym_env.py:3-7).
+BUTTON_SPEED = 0.001
+BUTTON_YMIN = -0.3
+BUTTON_YMAX = 0.3
+# Rand-button variant (kuka_rand_button_gym_env.py).
+N_DISTRACTORS = 10
+BALL_FORCE_SPEED = 0.004  # ball roll per step after the kick
+
+# Static gripper joint values (kuka.py:65-66, joints 7-13) for the
+# 14-dim "joints" observation mode.
+GRIPPER_JOINTS = np.array(
+    [0.000048, -0.299912, 0.0, -0.000043, 0.29996, 0.0, -0.0002], np.float32
+)
+
+
+@struct.dataclass
+class KukaState:
+    key: jax.Array
+    q: jax.Array  # [7] arm joint angles
+    ee_target: jax.Array  # [3] integrated clipped effector target
+    effector_angle: jax.Array  # accumulated da (kuka.py:140)
+    buttons: jax.Array  # [n_buttons, 3] button TOP positions
+    button_speed: jax.Array  # moving-button y velocity
+    n_contacts: jax.Array  # [n_buttons] int32
+    goal_id: jax.Array  # int32 (2-button progression)
+    n_steps_outside: jax.Array  # int32
+    step_count: jax.Array  # int32
+    terminated: jax.Array  # bool
+    distractors: jax.Array  # [n_distractors, 3] (pos; rendering only)
+    ball: jax.Array  # [6] pos+vel (rendering only)
+
+
+@lru_cache(maxsize=1)
+def _settled_q() -> np.ndarray:
+    return kin.settled_rest_q()
+
+
+class KukaButtonEnv(TpuEnv):
+    """Kuka iiwa arm pushing a button on a table."""
+
+    name = "KukaButtonGymEnv-v0"
+
+    def __init__(
+        self,
+        n_buttons: int = 1,
+        moving_button: bool = False,
+        rand_objects: bool = False,
+        is_discrete: bool = True,
+        action_joints: bool = False,
+        multi_view: bool = False,
+        shape_reward: bool = False,
+        random_target: bool = False,
+        force_down: bool = True,
+        max_distance: float = 0.8,
+        action_repeat: int = 1,
+        srl_model: str = "raw_pixels",
+        state_dim: int = -1,
+        max_steps: int = None,
+        noise_std: float = NOISE_STD,
+    ):
+        self.n_buttons = n_buttons
+        self.moving_button = moving_button
+        self.rand_objects = rand_objects
+        self.is_discrete = is_discrete
+        self.action_joints = action_joints
+        self.multi_view = multi_view
+        self.shape_reward = shape_reward
+        self.random_target = random_target
+        self.force_down = force_down
+        self.max_distance = float(max_distance)
+        self.action_repeat = int(action_repeat)
+        self.srl_model = srl_model
+        self.relative_pos = True  # RELATIVE_POS, kuka_button_gym_env.py:30
+        self.state_dim = state_dim
+        self.noise_std = float(noise_std)
+        if max_steps is None:
+            max_steps = MAX_STEPS_LONG if (n_buttons > 1 or moving_button) else MAX_STEPS
+        self.max_steps = max_steps
+        # Workspace constraints (kuka.py:46-53).
+        small = not random_target and n_buttons == 1
+        if small:
+            self._ws_lo = np.array([0.50, -0.17, 0.0], np.float32)
+            self._ws_hi = np.array([0.65, 0.22, 0.5], np.float32)
+        else:
+            self._ws_lo = np.array([0.35, -0.30, 0.0], np.float32)
+            self._ws_hi = np.array([0.65, 0.30, 0.5], np.float32)
+        self._n_distract = N_DISTRACTORS if rand_objects else 0
+
+    # ------------------------------------------------------------------
+    @property
+    def action_space(self) -> Space:
+        if self.is_discrete:
+            return Discrete(N_DISCRETE_ACTIONS)
+        if self.action_joints:
+            return Box(-1.0, 1.0, (7,))
+        return Box(-1.0, 1.0, (3,))
+
+    @property
+    def observation_space(self) -> Space:
+        if self.srl_model == "raw_pixels":
+            channels = 6 if self.multi_view else 3
+            return Box(0, 255, (RENDER_HEIGHT, RENDER_WIDTH, channels), np.uint8)
+        dims = {
+            "ground_truth": 3,
+            "joints": 14,
+            "joints_position": 17,
+        }
+        return Box(-np.inf, np.inf, (dims.get(self.srl_model, 3),))
+
+    @staticmethod
+    def ground_truth_dim() -> int:
+        return 3  # kuka_button_gym_env.py:201-203
+
+    @staticmethod
+    def joints_dim() -> int:
+        return 14  # kuka_button_gym_env.py:194-199
+
+    # ------------------------------------------------------------------
+    def _sample_buttons(self, key: jax.Array) -> jax.Array:
+        """Button TOP positions [n_buttons, 3]."""
+        if self.n_buttons == 1:
+            # kuka_button_gym_env.py:227-234
+            base = jnp.array([0.5, 0.0], jnp.float32)
+            if self.random_target:
+                u = jax.random.uniform(key, (2,), minval=-1.0, maxval=1.0)
+                base = base + jnp.array([0.15, 0.3]) * u
+            top = jnp.concatenate(
+                [base, jnp.array([Z_TABLE + BUTTON_DISTANCE_HEIGHT], jnp.float32)]
+            )
+            return top[None, :]
+        # kuka_2button_gym_env.py:53-73: first at y=+0.125, second at -0.125.
+        k1, k2 = jax.random.split(key)
+        b1 = jnp.array([0.5, 0.125], jnp.float32)
+        b2 = jnp.array([0.5, -0.125], jnp.float32)
+        if self.random_target:
+            u1 = jax.random.uniform(k1, (2,))
+            b1 = b1 + jnp.array([0.15, 0.175]) * jnp.array([u1[0] * 2 - 1, u1[1]])
+            u2 = jax.random.uniform(k2, (2,))
+            b2 = b2 + jnp.array([0.15, 0.175]) * jnp.array([u2[0] * 2 - 1, -u2[1]])
+        z = Z_TABLE + BUTTON_DISTANCE_HEIGHT
+        return jnp.stack(
+            [
+                jnp.concatenate([b1, jnp.array([z], jnp.float32)]),
+                jnp.concatenate([b2, jnp.array([z], jnp.float32)]),
+            ]
+        )
+
+    def reset(self, key: jax.Array) -> KukaState:
+        key, k_btn, k_init, k_obj, k_ball = jax.random.split(key, 5)
+        buttons = self._sample_buttons(k_btn)
+
+        # Distractor objects on the table (kuka_rand_button_gym_env.py:60-69);
+        # rendering-only; rejected placements (inside the button box) are
+        # dropped below the table.
+        if self._n_distract > 0:
+            u = jax.random.uniform(k_obj, (self._n_distract, 2), minval=-1.0, maxval=1.0)
+            xy = jnp.array([0.5, 0.0]) + jnp.array([0.15, 0.3]) * u
+            inside = (jnp.abs(xy[:, 0] - buttons[0, 0]) <= 0.1) & (
+                jnp.abs(xy[:, 1] - buttons[0, 1]) <= 0.1
+            )
+            z = jnp.where(inside, -5.0, Z_TABLE + 0.03)
+            distractors = jnp.concatenate([xy, z[:, None]], axis=1)
+        else:
+            distractors = jnp.zeros((0, 3), jnp.float32)
+        ball = jnp.array([0.25, -0.2, Z_TABLE + 0.03, 0.0, 0.0, 0.0], jnp.float32)
+
+        # Settled arm (precomputed constant) + 5 random init actions
+        # (kuka_button_gym_env.py:249-269).
+        q = jnp.asarray(_settled_q())
+        ee_target = jnp.asarray(kin.REST_EE_TARGET)
+        init_keys = jax.random.split(k_init, N_RANDOM_ACTIONS_AT_INIT)
+        for i in range(N_RANDOM_ACTIONS_AT_INIT):
+            ka, kb = jax.random.split(init_keys[i])
+            if self.is_discrete:
+                sign = jnp.where(jax.random.uniform(ka) > 0.5, 1.0, -1.0)
+                axis = jax.random.randint(kb, (), 0, 3)
+                delta = jnp.zeros(3).at[axis].set(sign * DELTA_V)
+            else:
+                direction = jax.random.normal(ka, (3,))
+                direction = direction / jnp.linalg.norm(direction)
+                delta = DELTA_V_CONTINUOUS * direction
+            ee_target = jnp.clip(
+                ee_target + delta, jnp.asarray(self._ws_lo), jnp.asarray(self._ws_hi)
+            )
+            q = kin.control_step(q, ee_target)
+
+        return KukaState(
+            key=key,
+            q=q.astype(jnp.float32),
+            ee_target=ee_target.astype(jnp.float32),
+            effector_angle=jnp.float32(0.0),
+            buttons=buttons.astype(jnp.float32),
+            button_speed=jnp.float32(BUTTON_SPEED),
+            n_contacts=jnp.zeros((self.n_buttons,), jnp.int32),
+            goal_id=jnp.int32(0),
+            n_steps_outside=jnp.int32(0),
+            step_count=jnp.int32(0),
+            terminated=jnp.bool_(False),
+            distractors=distractors.astype(jnp.float32),
+            ball=ball,
+        )
+
+    # ------------------------------------------------------------------
+    def _action_to_delta(self, key, action):
+        """(delta_xyz | q_target) per the reference mapping
+        (kuka_button_gym_env.py:302-335)."""
+        if self.is_discrete:
+            dv = DELTA_V + jax.random.normal(key, ()) * self.noise_std
+            zero = jnp.zeros_like(dv)
+            dxs = jnp.stack([-dv, dv, zero, zero, zero, zero])
+            dys = jnp.stack([zero, zero, -dv, dv, zero, zero])
+            if self.force_down:
+                dzs = jnp.stack([zero, zero, zero, zero, -dv, -dv])
+            else:
+                dzs = jnp.stack([zero, zero, zero, zero, -dv, dv])
+            return jnp.stack([dxs[action], dys[action], dzs[action]])
+        dv = DELTA_V_CONTINUOUS + jax.random.normal(key, ()) * NOISE_STD_CONTINUOUS
+        act = jnp.asarray(action, jnp.float32)
+        dx = act[0] * dv
+        dy = act[1] * dv
+        dz = jnp.where(self.force_down, -jnp.abs(act[2] * dv), act[2] * dv)
+        return jnp.stack([dx, dy, dz])
+
+    def step(self, state: KukaState, action) -> Tuple[KukaState, jax.Array, jax.Array]:
+        key, k_noise = jax.random.split(state.key)
+
+        buttons = state.buttons
+        button_speed = state.button_speed
+        if self.moving_button:
+            # kuka_moving_button_gym_env.py:110-118 — flip at the rails,
+            # then translate.
+            y = buttons[0, 1]
+            button_speed = jnp.where(
+                (y > BUTTON_YMAX) | (y < BUTTON_YMIN), -button_speed, button_speed
+            )
+            buttons = buttons.at[0, 1].add(button_speed)
+
+        # Arm control.
+        if self.action_joints:
+            d_theta = DELTA_THETA + jax.random.normal(k_noise, ()) * NOISE_STD_JOINTS
+            q_target = jnp.asarray(action, jnp.float32) * d_theta + state.q
+            ee_target = state.ee_target
+            q = state.q
+            for _ in range(self.action_repeat):
+                q = kin.servo_step(q, q_target)
+        else:
+            delta = self._action_to_delta(k_noise, action)
+            ee_target = jnp.clip(
+                state.ee_target + delta,
+                jnp.asarray(self._ws_lo),
+                jnp.asarray(self._ws_hi),
+            )
+            q = state.q
+            for _ in range(self.action_repeat):
+                q = kin.control_step(q, ee_target)
+
+        step_count = state.step_count + self.action_repeat
+        tip = kin.fk(q)[4]
+
+        # Ball kick at step 10 (kuka_rand_button_gym_env.py:117-127) +
+        # constant-velocity roll; rendering-only.
+        ball = state.ball
+        if self.rand_objects:
+            kick = step_count == 10
+            k_kick, key = jax.random.split(key)
+            direction = jnp.abs(jax.random.normal(k_kick, (2,)))
+            direction = direction / (jnp.linalg.norm(direction) + 1e-8)
+            vel = jnp.where(kick, direction * BALL_FORCE_SPEED, ball[3:5])
+            pos = ball[:3].at[:2].add(vel)
+            ball = jnp.concatenate([pos, vel, ball[5:6]])
+
+        # ---- contacts & reward (kuka_button_gym_env.py:428-463 /
+        #      kuka_2button_gym_env.py:151-198) ----
+        goal_id = state.goal_id
+        goal_button = buttons[goal_id]
+        distance = jnp.linalg.norm(goal_button - tip)
+
+        xy_dist_all = jnp.linalg.norm(buttons[:, :2] - tip[None, :2], axis=1)
+        over_any_button = jnp.any(xy_dist_all <= BUTTON_RADIUS)
+        contact_all = (xy_dist_all <= BUTTON_RADIUS) & (
+            tip[2] <= buttons[:, 2] + CONTACT_EPS
+        )
+        goal_contact = contact_all[goal_id]
+        # Table contact: tip at table height and not resting on a button.
+        table_contact = (tip[2] <= Z_TABLE + CONTACT_EPS) & ~over_any_button
+
+        n_contacts = state.n_contacts.at[goal_id].add(goal_contact.astype(jnp.int32))
+
+        if self.n_buttons == 1:
+            reward = goal_contact.astype(jnp.float32)
+            pressed_out = n_contacts[0] >= N_CONTACTS_BEFORE_TERMINATION
+            outside_limit = N_STEPS_OUTSIDE_SAFETY_SPHERE
+        else:
+            # Sparse reward only for the LAST button (kuka_2button:159-161).
+            reward = jnp.where(
+                goal_id == self.n_buttons - 1, goal_contact.astype(jnp.float32), 0.0
+            )
+            # Goal progression once the current button accumulated 5 contacts.
+            advance = (n_contacts[goal_id] >= N_CONTACTS_BEFORE_TERMINATION) & (
+                goal_id < self.n_buttons - 1
+            )
+            goal_id = jnp.where(advance, goal_id + 1, goal_id)
+            pressed_out = n_contacts[-1] >= N_CONTACTS_BEFORE_TERMINATION
+            outside_limit = N_STEPS_OUTSIDE_SAFETY_SPHERE - 1  # kuka_2button:180
+
+        outside = (distance > self.max_distance) | table_contact
+        reward = jnp.where(outside, -1.0, reward)
+        n_steps_outside = jnp.where(outside, state.n_steps_outside + 1, 0)
+
+        terminated = (
+            state.terminated
+            | table_contact
+            | pressed_out
+            | (n_steps_outside >= outside_limit)
+        )
+
+        if self.shape_reward:
+            if self.is_discrete and self.n_buttons == 1:
+                reward = -distance  # kuka_button:449-451
+            elif self.n_buttons == 1:
+                # continuous shaped (kuka_button:452-462)
+                reward = jnp.where(
+                    terminated & (reward > 0),
+                    50.0,
+                    jnp.where(terminated & (reward < 0), -250.0, -distance),
+                )
+            else:
+                # 2-button shaped (kuka_2button:183-198)
+                reward = jnp.where(
+                    terminated & (reward > 0),
+                    50.0,
+                    jnp.where(
+                        (n_contacts[goal_id] < N_CONTACTS_BEFORE_TERMINATION)
+                        & goal_contact,
+                        25.0,
+                        jnp.where(
+                            table_contact,
+                            -250.0,
+                            jnp.where(distance > self.max_distance, -20.0, -distance),
+                        ),
+                    ),
+                )
+
+        done = terminated | (step_count > self.max_steps)
+
+        new_state = state.replace(
+            key=key,
+            q=q,
+            ee_target=ee_target,
+            buttons=buttons,
+            button_speed=button_speed,
+            n_contacts=n_contacts,
+            goal_id=goal_id,
+            n_steps_outside=n_steps_outside,
+            step_count=step_count,
+            terminated=terminated,
+            ball=ball,
+        )
+        return new_state, reward.astype(jnp.float32), done
+
+    # ------------------------------------------------------------------
+    def ground_truth(self, state: KukaState) -> jax.Array:
+        """Gripper position (getArmPos, kuka_button_gym_env.py:205-212)."""
+        return kin.fk(state.q)[4]
+
+    def target_pos(self, state: KukaState) -> jax.Array:
+        return state.buttons[state.goal_id]
+
+    def joints(self, state: KukaState) -> jax.Array:
+        return jnp.concatenate([state.q, jnp.asarray(GRIPPER_JOINTS)])
+
+    def observe(self, state: KukaState) -> jax.Array:
+        # getSRLState dispatch (kuka_button_gym_env.py:175-189).
+        if self.srl_model == "ground_truth":
+            return self.srl_state(state)
+        if self.srl_model == "joints":
+            return self.joints(state)
+        if self.srl_model == "joints_position":
+            return jnp.concatenate([self.srl_state(state), self.joints(state)])
+        return self.render_pixels(state)
+
+    def render_pixels(self, state: KukaState) -> jax.Array:
+        from srl_tpu.ops.renderer3d import render_kuka
+
+        return render_kuka(self, state)
+
+
+class KukaRandButtonEnv(KukaButtonEnv):
+    name = "KukaRandButtonGymEnv-v0"
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault("rand_objects", True)
+        super().__init__(**kwargs)
+
+
+class Kuka2ButtonEnv(KukaButtonEnv):
+    name = "Kuka2ButtonGymEnv-v0"
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault("n_buttons", 2)
+        kwargs.setdefault("max_distance", 2.0)
+        kwargs.setdefault("force_down", False)
+        super().__init__(**kwargs)
+
+
+class KukaMovingButtonEnv(KukaButtonEnv):
+    name = "KukaMovingButtonGymEnv-v0"
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault("moving_button", True)
+        super().__init__(**kwargs)

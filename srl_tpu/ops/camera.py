@@ -25,8 +25,9 @@ def camera_basis(yaw_deg: float, pitch_deg: float, roll_deg: float = 0.0):
         [np.cos(p) * np.cos(y), np.cos(p) * np.sin(y), np.sin(p)], np.float64
     )
     # Right vector: horizontal, perpendicular to forward's azimuth — stays
-    # well-defined at pitch=±90.
-    right = np.array([-np.sin(y), np.cos(y), 0.0], np.float64)
+    # well-defined at pitch=±90. (Right-handed: looking along +x with z up,
+    # right is -y.)
+    right = np.array([np.sin(y), -np.cos(y), 0.0], np.float64)
     up = np.cross(right, forward)
     if abs(r) > 1e-9:
         c, s = np.cos(r), np.sin(r)

@@ -1,0 +1,238 @@
+"""Batched analytic ray-traced renderer for 3D scenes (Kuka table-top).
+
+Replaces PyBullet's TinyRenderer for the Kuka cameras
+(kuka_button_gym_env.py:370-420): per-pixel closed-form ray intersections
+against a small set of primitives (planes, boxes, vertical cylinders,
+capsules for the arm links) with flat Lambertian shading. All math is
+elementwise over the [H, W] pixel grid — vmap adds the env batch axis and XLA
+fuses the whole scene into one kernel. Camera rays are precomputed host-side
+(static per config).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srl_tpu.ops.camera import pixel_rays
+
+BIG = 1e9
+
+# Scene colors.
+FLOOR_COLOR = np.array([0.85, 0.85, 0.85], np.float32)
+TABLE_COLOR = np.array([0.55, 0.38, 0.22], np.float32)
+BUTTON_GREEN = np.array([0.0, 0.85, 0.0], np.float32)
+BUTTON_RED = np.array([0.85, 0.0, 0.0], np.float32)
+ARM_ORANGE = np.array([0.95, 0.55, 0.05], np.float32)
+ARM_SILVER = np.array([0.75, 0.75, 0.78], np.float32)
+BALL_COLOR = np.array([0.9, 0.9, 0.9], np.float32)
+DISTRACTOR_COLOR = np.array([0.85, 0.75, 0.1], np.float32)
+SKY_COLOR = np.array([0.7, 0.78, 0.9], np.float32)
+LIGHT_DIR = np.array([0.4, 0.25, 0.88], np.float32)
+LIGHT_DIR /= np.linalg.norm(LIGHT_DIR)
+
+# Kuka scene geometry (kuka_button_gym_env.py reset): floor plane at z=-1,
+# table top at Z_TABLE=-0.2 with the tabletop box below it.
+FLOOR_Z = -1.0
+TABLE_CENTER = np.array([0.5, 0.0, -0.51], np.float32)
+TABLE_HALF = np.array([0.75, 0.5, 0.31], np.float32)
+BUTTON_RADIUS_VIS = 0.1
+ARM_LINK_RADIUS = 0.055
+
+
+def _hit_plane(eye, dirs, z):
+    dz = dirs[..., 2]
+    t = (z - eye[2]) / jnp.where(jnp.abs(dz) < 1e-8, 1e-8, dz)
+    t = jnp.where(t > 1e-4, t, BIG)
+    normal = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    return t, jnp.broadcast_to(normal, dirs.shape)
+
+
+def _hit_aabb(eye, dirs, center, half):
+    """Slab-method AABB intersection; returns (t, normal)."""
+    inv = 1.0 / jnp.where(jnp.abs(dirs) < 1e-8, 1e-8, dirs)
+    lo = (center - half - eye) * inv
+    hi = (center + half - eye) * inv
+    tmin = jnp.minimum(lo, hi)
+    tmax = jnp.maximum(lo, hi)
+    t_near = jnp.max(tmin, axis=-1)
+    t_far = jnp.min(tmax, axis=-1)
+    hit = (t_near <= t_far) & (t_far > 1e-4)
+    t = jnp.where(hit & (t_near > 1e-4), t_near, BIG)
+    # Normal: the axis achieving t_near, signed by ray direction.
+    is_axis = (tmin == t_near[..., None]).astype(jnp.float32)
+    normal = -jnp.sign(dirs) * is_axis
+    norm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = normal / jnp.where(norm < 1e-8, 1.0, norm)
+    return t, normal
+
+
+def _hit_vcylinder(eye, dirs, center_xy, radius, z_lo, z_hi):
+    """Vertical capped cylinder."""
+    ox = eye[0] - center_xy[0]
+    oy = eye[1] - center_xy[1]
+    dx = dirs[..., 0]
+    dy = dirs[..., 1]
+    a = dx * dx + dy * dy
+    b = 2.0 * (ox * dx + oy * dy)
+    c = ox * ox + oy * oy - radius * radius
+    disc = b * b - 4 * a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    a_safe = jnp.where(jnp.abs(a) < 1e-8, 1e-8, a)
+    t_side = (-b - sq) / (2 * a_safe)
+    z_at = eye[2] + t_side * dirs[..., 2]
+    side_ok = (disc > 0) & (t_side > 1e-4) & (z_at >= z_lo) & (z_at <= z_hi)
+    t_side = jnp.where(side_ok, t_side, BIG)
+    side_n = jnp.stack(
+        [
+            (ox + t_side * dx) / radius,
+            (oy + t_side * dy) / radius,
+            jnp.zeros_like(t_side),
+        ],
+        axis=-1,
+    )
+
+    # Top cap disk.
+    t_cap, cap_n = _hit_plane(eye, dirs, z_hi)
+    px = eye[0] + t_cap * dirs[..., 0] - center_xy[0]
+    py = eye[1] + t_cap * dirs[..., 1] - center_xy[1]
+    cap_ok = (px * px + py * py) <= radius * radius
+    t_cap = jnp.where(cap_ok, t_cap, BIG)
+
+    use_cap = t_cap < t_side
+    t = jnp.minimum(t_side, t_cap)
+    normal = jnp.where(use_cap[..., None], cap_n, side_n)
+    return t, normal
+
+
+def _hit_sphere(eye, dirs, center, radius):
+    oc = eye - center
+    b = 2.0 * jnp.einsum("...i,i->...", dirs, oc)
+    c = jnp.dot(oc, oc) - radius * radius
+    disc = b * b - 4 * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t = (-b - sq) / 2.0
+    ok = (disc > 0) & (t > 1e-4)
+    t = jnp.where(ok, t, BIG)
+    p = eye + t[..., None] * dirs
+    normal = (p - center) / radius
+    return t, normal
+
+
+def _hit_capsule(eye, dirs, a, b, radius):
+    """Capsule from a to b: infinite-cylinder quadratic clamped to the
+    segment, plus sphere caps."""
+    ba = b - a
+    ba_len2 = jnp.dot(ba, ba) + 1e-12
+    oa = eye - a
+    d_dot_ba = jnp.einsum("...i,i->...", dirs, ba)
+    oa_dot_ba = jnp.dot(oa, ba)
+    # Components orthogonal to the axis.
+    aa = 1.0 - d_dot_ba * d_dot_ba / ba_len2
+    bb = 2.0 * (jnp.einsum("...i,i->...", dirs, oa) - d_dot_ba * oa_dot_ba / ba_len2)
+    cc = jnp.dot(oa, oa) - oa_dot_ba * oa_dot_ba / ba_len2 - radius * radius
+    disc = bb * bb - 4 * aa * cc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    aa_safe = jnp.where(jnp.abs(aa) < 1e-8, 1e-8, aa)
+    t_cyl = (-bb - sq) / (2 * aa_safe)
+    s = (oa_dot_ba + t_cyl * d_dot_ba) / ba_len2  # axis parameter at hit
+    cyl_ok = (disc > 0) & (t_cyl > 1e-4) & (s >= 0.0) & (s <= 1.0)
+    t_cyl = jnp.where(cyl_ok, t_cyl, BIG)
+    p = eye + t_cyl[..., None] * dirs
+    axis_pt = a + s[..., None] * ba
+    n_cyl = (p - axis_pt) / radius
+
+    t_s1, n_s1 = _hit_sphere(eye, dirs, a, radius)
+    t_s2, n_s2 = _hit_sphere(eye, dirs, b, radius)
+    t = jnp.minimum(t_cyl, jnp.minimum(t_s1, t_s2))
+    normal = jnp.where(
+        (t == t_cyl)[..., None], n_cyl, jnp.where((t == t_s1)[..., None], n_s1, n_s2)
+    )
+    return t, normal
+
+
+def _shade(t, normal, color, eye, dirs):
+    lam = jnp.clip(jnp.einsum("...i,i->...", normal, jnp.asarray(LIGHT_DIR)), 0.0, 1.0)
+    shade = 0.45 + 0.55 * lam
+    return shade[..., None] * jnp.asarray(color)[None, None]
+
+
+def _fold(prims, eye, dirs, background):
+    """Min-depth composite of (t, normal, color) primitive tuples."""
+    t_best = jnp.full(dirs.shape[:-1], BIG, jnp.float32)
+    img = jnp.broadcast_to(jnp.asarray(background)[None, None], dirs.shape)
+    for t, normal, color in prims:
+        shaded = _shade(t, normal, color, eye, dirs)
+        closer = t < t_best
+        img = jnp.where(closer[..., None], shaded, img)
+        t_best = jnp.minimum(t, t_best)
+    return img
+
+
+@lru_cache(maxsize=8)
+def _kuka_camera(which: str, height: int, width: int):
+    if which == "main":
+        # kuka_button_gym_env.py:94-102,386-395
+        return pixel_rays((0.316, -0.2, -0.1), 1.1, 145.0, -36.0, 0.0, 60.0, width, height)
+    # second camera for multi_view (:401-409)
+    return pixel_rays((0.316, 0.316, -0.105), 1.05, 32.0, -13.0, 0.0, 60.0, width, height)
+
+
+def _render_kuka_view(env, state, which: str) -> jax.Array:
+    from srl_tpu.envs.kuka import RENDER_HEIGHT, RENDER_WIDTH, Z_TABLE
+    from srl_tpu.ops import kinematics as kin
+
+    eye_np, dirs_np = _kuka_camera(which, RENDER_HEIGHT, RENDER_WIDTH)
+    eye = jnp.asarray(eye_np)
+    dirs = jnp.asarray(dirs_np)
+
+    prims = []
+    prims.append(_hit_plane(eye, dirs, FLOOR_Z) + (FLOOR_COLOR,))
+    prims.append(
+        _hit_aabb(eye, dirs, jnp.asarray(TABLE_CENTER), jnp.asarray(TABLE_HALF))
+        + (TABLE_COLOR,)
+    )
+
+    # Buttons: capped cylinders from the table to the button top.
+    for i in range(env.n_buttons):
+        color = BUTTON_GREEN if i == 0 else BUTTON_RED
+        top = state.buttons[i]
+        prims.append(
+            _hit_vcylinder(
+                eye, dirs, top[:2], BUTTON_RADIUS_VIS, Z_TABLE, top[2] - 0.02
+            )
+            + (color,)
+        )
+
+    # Arm: capsules along the kinematic chain + gripper segment.
+    joint_pos, _, R, p_flange, p_tip = kin.fk(state.q)
+    base = jnp.asarray(kin.BASE_POS)
+    pts = jnp.concatenate([base[None], joint_pos, p_flange[None], p_tip[None]], axis=0)
+    n_seg = pts.shape[0] - 1
+    for i in range(n_seg):
+        color = ARM_ORANGE if i % 2 == 0 else ARM_SILVER
+        radius = ARM_LINK_RADIUS if i < n_seg - 1 else 0.035
+        prims.append(_hit_capsule(eye, dirs, pts[i], pts[i + 1], radius) + (color,))
+
+    # Distractors + ball (rand-button variant).
+    if env.rand_objects:
+        for i in range(state.distractors.shape[0]):
+            prims.append(
+                _hit_sphere(eye, dirs, state.distractors[i], 0.025)
+                + (DISTRACTOR_COLOR,)
+            )
+        prims.append(_hit_sphere(eye, dirs, state.ball[:3], 0.03) + (BALL_COLOR,))
+
+    img = _fold(prims, eye, dirs, SKY_COLOR)
+    return jnp.clip(img * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+
+
+def render_kuka(env, state) -> jax.Array:
+    """uint8 [H, W, 3] (or [H, W, 6] with multi_view) Kuka scene render."""
+    img = _render_kuka_view(env, state, "main")
+    if env.multi_view:
+        img2 = _render_kuka_view(env, state, "aux")
+        return jnp.concatenate([img, img2], axis=-1)
+    return img
