@@ -1,0 +1,263 @@
+"""A2C — synchronous advantage actor-critic, on-device.
+
+Replaces stable-baselines A2C as wrapped by rl_baselines/rl_algorithm/a2c.py
+with the same defaults (a2c.py:43-54): n_steps=5, vf_coef 0.5(*), ent_coef
+0.01, max_grad_norm 0.5, RMSProp(lr 7e-4, alpha 0.99, eps 1e-5), gamma 0.99,
+lr schedules constant/linear/... (a2c.py:20-21).
+
+One train iteration = 5-step scan rollout + single full-batch gradient step.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from srl_tpu.agents.base import BaseRLAgent
+from srl_tpu.agents.common import collect_rollout, compute_gae, explained_variance
+from srl_tpu.agents.ppo import PPOState  # same train-state shape
+from srl_tpu.core.env import VecEnv
+from srl_tpu.core.normalize import RunningNorm
+from srl_tpu.core.spaces import Discrete
+from srl_tpu.models.policies import make_policy
+
+
+@dataclasses.dataclass
+class A2CConfig:
+    n_steps: int = 5
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01
+    max_grad_norm: float = 0.5
+    learning_rate: float = 7e-4
+    epsilon: float = 1e-5
+    alpha: float = 0.99
+    gamma: float = 0.99
+    lr_schedule: str = "constant"
+
+
+class A2C(BaseRLAgent):
+    name = "a2c"
+    SAVE_INTERVAL = 10  # a2c.py:12
+
+    def __init__(self, env=None, num_envs: int = 16, policy: str = "auto",
+                 config: A2CConfig = None, normalize_obs: Optional[bool] = None):
+        super().__init__()
+        self.env = env
+        self.num_envs = num_envs
+        self.config = config or A2CConfig()
+        self.policy_kind = policy
+        if env is not None:
+            self.vec_env = VecEnv(env, num_envs)
+            self.policy = make_policy(env.action_space, env.observation_space.shape, policy)
+            if normalize_obs is None:
+                normalize_obs = env.srl_model != "raw_pixels"
+            self.normalize_obs = normalize_obs
+            self._tx = None
+
+    def _make_optimizer(self, n_updates: int):
+        cfg = self.config
+        if cfg.lr_schedule == "linear":
+            sched = lambda count: cfg.learning_rate * jnp.maximum(
+                1.0 - count / max(n_updates, 1), 0.0
+            )
+        else:  # constant (and the exotic schedules degrade to constant)
+            sched = cfg.learning_rate
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.rmsprop(sched, decay=cfg.alpha, eps=cfg.epsilon),
+        )
+
+    def init_state(self, key: jax.Array, n_updates: int = 1000) -> PPOState:
+        key, k_env, k_params = jax.random.split(key, 3)
+        vstate, obs = self.vec_env.reset(k_env)
+        params = self.policy.init(k_params, obs)
+        self._tx = self._make_optimizer(n_updates)
+        opt_state = self._tx.init(params)
+        obs_norm = (
+            RunningNorm.create(self.env.observation_space.shape)
+            if self.normalize_obs
+            else None
+        )
+        return PPOState(
+            params=params, opt_state=opt_state, vstate=vstate, obs=obs,
+            obs_norm=obs_norm, key=key, update_idx=jnp.int32(0),
+        )
+
+    def train_iteration(self, state: PPOState):
+        cfg = self.config
+        key, k_roll = jax.random.split(state.key)
+        vstate, obs, obs_norm, last_norm_obs, batch = collect_rollout(
+            self.vec_env, self.policy.apply, state.params, state.vstate,
+            state.obs, state.obs_norm, k_roll, cfg.n_steps,
+        )
+        _, last_value = self.policy.apply(state.params, last_norm_obs)
+        # A2C: discounted returns, no GAE (lambda = 1).
+        advantages, returns = compute_gae(
+            batch.rewards, batch.values, batch.dones, last_value, cfg.gamma, 1.0
+        )
+
+        t, n = cfg.n_steps, self.num_envs
+        flat = lambda x: x.reshape((t * n,) + x.shape[2:])
+
+        def loss_fn(params):
+            dist, vpred = self.policy.apply(params, flat(batch.obs))
+            logp = dist.log_prob(flat(batch.actions))
+            adv = jax.lax.stop_gradient(flat(advantages))
+            pg_loss = -jnp.mean(adv * logp)
+            vf_loss = jnp.mean(jnp.square(vpred - flat(returns)))
+            entropy = jnp.mean(dist.entropy())
+            total = pg_loss + cfg.vf_coef * vf_loss - cfg.ent_coef * entropy
+            return total, {"pg_loss": pg_loss, "vf_loss": vf_loss, "entropy": entropy}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self._tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        metrics = dict(aux)
+        metrics["explained_variance"] = explained_variance(
+            flat(batch.values), flat(returns)
+        )
+        metrics["episode_return"] = batch.episode_return
+        metrics["episode_length"] = batch.episode_length
+        metrics["mean_reward_per_step"] = jnp.mean(batch.rewards)
+
+        return (
+            PPOState(
+                params=params, opt_state=opt_state, vstate=vstate, obs=obs,
+                obs_norm=obs_norm, key=key, update_idx=state.update_idx + 1,
+            ),
+            metrics,
+        )
+
+    def learn(self, total_timesteps: int, seed: int = 0,
+              callback: Optional[Callable] = None) -> PPOState:
+        cfg = self.config
+        steps_per_update = cfg.n_steps * self.num_envs
+        n_updates = max(1, total_timesteps // steps_per_update)
+        state = self.init_state(jax.random.PRNGKey(seed), n_updates)
+        jit_iter = jax.jit(self.train_iteration, donate_argnums=0)
+
+        episode_returns, episode_lengths = [], []
+        t_start = time.time()
+        for update in range(n_updates):
+            state, metrics = jit_iter(state)
+            ep_ret = np.asarray(metrics["episode_return"])
+            finished = ~np.isnan(ep_ret)
+            if finished.any():
+                episode_returns.extend(ep_ret[finished].tolist())
+                episode_lengths.extend(
+                    np.asarray(metrics["episode_length"])[finished].tolist()
+                )
+            if callback is not None:
+                callback(
+                    {
+                        "self": self, "state": state, "update": update,
+                        "n_updates": n_updates,
+                        "num_timesteps": (update + 1) * steps_per_update,
+                        "episode_returns": episode_returns,
+                        "episode_lengths": episode_lengths,
+                        "metrics": metrics,
+                        "fps": (update + 1) * steps_per_update
+                        / max(time.time() - t_start, 1e-9),
+                    },
+                    {},
+                )
+        self.state = state
+        return state
+
+    # ---- BaseRLObject surface -------------------------------------------
+    @classmethod
+    def getOptParam(cls):
+        # a2c.py:25-37
+        return {
+            "n_steps": (int, (1, 100)),
+            "vf_coef": (float, (0, 1)),
+            "ent_coef": (float, (0, 1)),
+            "max_grad_norm": (float, (0.1, 5)),
+            "learning_rate": (float, (0, 0.1)),
+            "epsilon": (float, (0, 0.01)),
+            "alpha": (float, (0.5, 1)),
+            "gamma": (float, (0.5, 1)),
+            "lr_schedule": (
+                (list, str),
+                ["linear", "constant", "double_linear_con", "middle_drop",
+                 "double_middle_drop"],
+            ),
+        }
+
+    def customArguments(self, parser):
+        super().customArguments(parser)
+        parser.add_argument(
+            "--lr-schedule", help="Learning rate schedule", default="constant",
+            choices=["linear", "constant", "double_linear_con", "middle_drop",
+                     "double_middle_drop"],
+        )
+        return parser
+
+    def getAction(self, observation, dones=None, deterministic=False, key=None):
+        obs = jnp.asarray(observation)
+        if self.state.obs_norm is not None:
+            obs = self.state.obs_norm.normalize(obs)
+        dist, _ = self.policy.apply(self.state.params, obs)
+        if deterministic:
+            return np.asarray(dist.mode())
+        if key is None:
+            key = jax.random.PRNGKey(int(time.time_ns()) % (2**31))
+        return np.asarray(dist.sample(key))
+
+    def getActionProba(self, observation, dones=None):
+        obs = jnp.asarray(observation)
+        if self.state.obs_norm is not None:
+            obs = self.state.obs_norm.normalize(obs)
+        dist, _ = self.policy.apply(self.state.params, obs)
+        if isinstance(self.env.action_space, Discrete):
+            return np.asarray(dist.probs())
+        return np.asarray(dist.mean)
+
+    def save(self, save_path: str, _locals=None):
+        self._save_pickle(
+            save_path,
+            {
+                "name": self.name,
+                "config": dataclasses.asdict(self.config),
+                "num_envs": self.num_envs,
+                "policy_kind": self.policy_kind,
+                "normalize_obs": self.normalize_obs,
+                "params": self._to_numpy(self.state.params),
+                "obs_norm": (
+                    self._to_numpy(
+                        {"mean": self.state.obs_norm.mean,
+                         "var": self.state.obs_norm.var,
+                         "count": self.state.obs_norm.count}
+                    )
+                    if self.state.obs_norm is not None else None
+                ),
+            },
+        )
+
+    @classmethod
+    def load(cls, load_path: str, env=None, args=None) -> "A2C":
+        d = cls._load_pickle(load_path)
+        agent = cls(
+            env=env, num_envs=d["num_envs"], policy=d["policy_kind"],
+            config=A2CConfig(**d["config"]), normalize_obs=d["normalize_obs"],
+        )
+        params = jax.tree.map(jnp.asarray, d["params"])
+        obs_norm = None
+        if d["obs_norm"] is not None:
+            obs_norm = RunningNorm(
+                mean=jnp.asarray(d["obs_norm"]["mean"]),
+                var=jnp.asarray(d["obs_norm"]["var"]),
+                count=jnp.asarray(d["obs_norm"]["count"]),
+            )
+        agent.state = PPOState(
+            params=params, opt_state=None, vstate=None, obs=None,
+            obs_norm=obs_norm, key=jax.random.PRNGKey(0), update_idx=jnp.int32(0),
+        )
+        return agent
