@@ -147,6 +147,7 @@ class A2C(BaseRLAgent):
         t_start = time.time()
         for update in range(n_updates):
             state, metrics = jit_iter(state)
+            self.state = state
             ep_ret = np.asarray(metrics["episode_return"])
             finished = ~np.isnan(ep_ret)
             if finished.any():

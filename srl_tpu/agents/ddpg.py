@@ -253,6 +253,7 @@ class DDPG(BaseRLAgent):
         update = 0
         while steps < total_timesteps:
             state, (rewards, ep_ret, ep_len) = jit_chunk(state, chunk)
+            self.state = state
             steps += chunk * self.num_envs
             update += 1
             er = np.asarray(ep_ret)

@@ -271,6 +271,7 @@ class PPO2(BaseRLAgent):
         num_timesteps = 0
         for update in range(n_updates):
             state, metrics = jit_iter(state)
+            self.state = state
             num_timesteps += steps_per_update
             ep_ret = np.asarray(metrics["episode_return"])
             finished = ~np.isnan(ep_ret)

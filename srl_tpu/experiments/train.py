@@ -1,0 +1,316 @@
+"""Main training entry point.
+
+CLI parity with ``python -m rl_baselines.train`` (rl_baselines/train.py):
+same flag surface, srl_models.yaml checkpoint resolution
+(configureEnvAndLogFolder, train.py:69-108), the
+``logs/{env}/{srl_model}/{algo}/{datetime}/`` log-dir schema (train.py:81-103),
+args/env_globals config snapshots (train.py:282-315), the 1.1x timestep
+inflation (train.py:319), and best-model checkpointing when the mean reward
+over the last --episode-window episodes improves (callback, train.py:111-169).
+
+Usage (README quickstart, README.md:36):
+  python -m srl_tpu.experiments.train --algo ppo2 --env MobileRobotGymEnv-v0 \
+      --srl-model ground_truth --num-timesteps 10000
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import inspect
+import json
+import os
+import time
+from datetime import datetime
+from typing import Optional
+
+import numpy as np
+import yaml
+
+from srl_tpu.agents.registry import registered_rl
+from srl_tpu.agents import ActionType, AlgoType
+from srl_tpu.envs.registry import registered_env
+from srl_tpu.srl.registry import registered_srl
+from srl_tpu.srl import SRLType
+from srl_tpu.utils.logging import printGreen, printRed, printYellow
+from srl_tpu.utils.monitor import MonitorWriter
+
+LOG_INTERVAL = 10
+LOG_DIR = ""
+ALGO = None
+ALGO_NAME = ""
+ENV_NAME = ""
+PLOT_TITLE = ""
+EPISODE_WINDOW = 40  # train.py:36 (measure mean reward for the plot)
+MIN_EPISODES_BEFORE_SAVE = 100  # train.py:38
+N_EPISODES_EVAL = 100  # mean over last 100 episodes for best-model saving
+
+params_saved = False
+best_mean_reward = -10000
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Train script for RL algorithms (rl_baselines/train.py parity)"
+    )
+    parser.add_argument("--algo", default="ppo2", choices=list(registered_rl.keys()))
+    parser.add_argument("--env", default="KukaButtonGymEnv-v0",
+                        choices=list(registered_env.keys()))
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--episode-window", type=int, default=40,
+                        help="Episode window for moving average plot")
+    parser.add_argument("--log-dir", default="logs/",
+                        help="Directory for the experiment logs")
+    parser.add_argument("--num-timesteps", type=int, default=int(1e6))
+    parser.add_argument("--srl-model", type=str, default="raw_pixels",
+                        choices=list(registered_srl.keys()))
+    parser.add_argument("--num-stack", type=int, default=1,
+                        help="Number of frames to stack")
+    parser.add_argument("--action-repeat", type=int, default=1)
+    parser.add_argument("--srl-config-file", type=str,
+                        default="config/srl_models.yaml")
+    parser.add_argument("--hyperparam", type=str, nargs="+", default=[])
+    parser.add_argument("--min-episodes-save", type=int, default=100)
+    parser.add_argument("--latest", action="store_true", default=False,
+                        help="Use the latest trained SRL model for the env")
+    parser.add_argument("--load-rl-model-path", type=str, default=None)
+    parser.add_argument("--shape-reward", action="store_true", default=False)
+    parser.add_argument("-c", "--continuous-actions", action="store_true",
+                        default=False)
+    parser.add_argument("-joints", "--action-joints", action="store_true",
+                        default=False)
+    parser.add_argument("-r", "--random-target", action="store_true",
+                        default=False)
+    parser.add_argument("--no-vis", action="store_true", default=False,
+                        help="Disable curve plotting (PNG)")
+    # --num-envs is contributed by every algo via customArguments
+    # (BaseRLAgent.customArguments, replacing the reference's --num-cpu).
+
+    # First pass to discover the algo, then let it add custom arguments
+    # (train.py:276-277 double-parse pattern).
+    args, _ = parser.parse_known_args(argv)
+    algo_class = registered_rl[args.algo][0]
+    algo = algo_class()
+    algo.customArguments(parser)
+    args = parser.parse_args(argv)
+    return args, parser
+
+
+def configure_env_and_log_folder(args, env_kwargs: dict):
+    """Resolve SRL checkpoint + build the log dir (train.py:69-108)."""
+    path = args.srl_model
+    srl_entry = registered_srl[args.srl_model]
+    if srl_entry["type"] == SRLType.SRL:
+        env_kwargs["use_srl"] = True
+        if args.latest:
+            printYellow("Using latest srl model")
+            env_kwargs["srl_model_path"] = latest_srl_model(args)
+        else:
+            with open(args.srl_config_file) as f:
+                all_models = yaml.safe_load(f)
+            assert args.env in all_models, (
+                f"Error: environment '{args.env}' not in srl config file "
+                f"'{args.srl_config_file}'"
+            )
+            models = all_models[args.env]
+            assert args.srl_model in models, (
+                f"Error: srl_model '{args.srl_model}' not in config for env "
+                f"{args.env}"
+            )
+            path = models[args.srl_model]
+            env_kwargs["srl_model_path"] = os.path.join(
+                models.get("log_folder", ""), path
+            )
+
+    log_dir = os.path.join(
+        args.log_dir, args.env, args.srl_model, args.algo,
+        datetime.now().strftime("%y-%m-%d_%Hh%M_%S"),
+    )
+    os.makedirs(log_dir, exist_ok=True)
+    return log_dir, env_kwargs
+
+
+def latest_srl_model(args) -> str:
+    """Most recently modified SRL checkpoint for this env
+    (train.py:59-66 --latest resolution by mtime)."""
+    import glob
+
+    pattern = os.path.join("srl_logs", args.env, "**", "srl_model.pkl")
+    candidates = glob.glob(pattern, recursive=True)
+    assert candidates, f"No trained SRL models found under srl_logs/{args.env}"
+    return max(candidates, key=os.path.getmtime)
+
+
+def build_env(args, env_kwargs):
+    from srl_tpu.envs import make_env
+
+    env_class = registered_env[args.env][0]
+    sig = inspect.signature(env_class.__init__)
+    accepted = set(sig.parameters)
+    kwargs = {k: v for k, v in env_kwargs.items() if k in accepted}
+    env = make_env(args.env, **kwargs)
+
+    if env_kwargs.get("use_srl"):
+        from srl_tpu.srl.models import SRLEncodedEnv, loadSRLModel
+
+        model = loadSRLModel(env_kwargs["srl_model_path"])
+        env = SRLEncodedEnv(env, model)
+    return env
+
+
+def make_callback(log_dir: str, args, monitor: MonitorWriter, algo):
+    """Best-model saving + monitor CSV + metrics.jsonl (train.py:111-169)."""
+    state = {"best": -1e4, "n_logged": 0, "n_steps": 0}
+    metrics_path = os.path.join(log_dir, "metrics.jsonl")
+    save_interval = getattr(algo, "SAVE_INTERVAL", 1)
+    log_interval = getattr(algo, "LOG_INTERVAL", 10)
+
+    def callback(_locals, _globals):
+        ep_returns = _locals["episode_returns"]
+        ep_lengths = _locals["episode_lengths"]
+        # Append new finished episodes to the monitor CSV.
+        while state["n_logged"] < len(ep_returns):
+            i = state["n_logged"]
+            length = ep_lengths[i] if i < len(ep_lengths) else 0
+            monitor.write_episode(ep_returns[i], length)
+            state["n_logged"] += 1
+
+        update = _locals["update"]
+        if (update + 1) % save_interval == 0:
+            if len(ep_returns) >= args.min_episodes_save:
+                mean_reward = float(np.mean(ep_returns[-N_EPISODES_EVAL:]))
+                if mean_reward > state["best"]:
+                    state["best"] = mean_reward
+                    printGreen(
+                        f"Saving new best model: mean reward "
+                        f"{mean_reward:.2f} over last {N_EPISODES_EVAL} episodes"
+                    )
+                    _locals["self"].save(
+                        os.path.join(log_dir, f"{args.algo}_model.pkl"), _locals
+                    )
+
+        if (update + 1) % log_interval == 0:
+            window = ep_returns[-args.episode_window:]
+            entry = {
+                "update": update,
+                "num_timesteps": _locals["num_timesteps"],
+                "n_episodes": len(ep_returns),
+                "mean_reward": float(np.mean(window)) if window else None,
+                "fps": _locals.get("fps"),
+            }
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(entry) + "\n")
+            printGreen(
+                f"update {update + 1}/{_locals['n_updates']}  "
+                f"steps {entry['num_timesteps']}  episodes {entry['n_episodes']}  "
+                f"mean reward {entry['mean_reward'] if entry['mean_reward'] is not None else float('nan'):.2f}  "
+                f"{entry['fps']:.0f} steps/s"
+            )
+
+    return callback
+
+
+def save_env_params(log_dir: str, env) -> None:
+    """env_globals.json snapshot (train.py:49-56) — the typed-config
+    equivalent of the reference's module-globals harvesting."""
+    params = {}
+    for k, v in vars(env).items():
+        if isinstance(v, (int, float, bool, str, list, tuple)):
+            params[k] = v
+        elif isinstance(v, np.ndarray):
+            params[k] = v.tolist()
+    with open(os.path.join(log_dir, "env_globals.json"), "w") as f:
+        json.dump(params, f, indent=2, default=str)
+
+
+def main(argv=None):
+    args, parser = parse_args(argv)
+
+    algo_class, algo_type, action_types = registered_rl[args.algo]
+
+    if args.continuous_actions:
+        assert ActionType.CONTINUOUS in action_types, (
+            f"Error: {args.algo} does not support continuous actions"
+        )
+    else:
+        assert ActionType.DISCRETE in action_types or args.continuous_actions, (
+            f"Error: {args.algo} does not support discrete actions"
+        )
+
+    env_kwargs = {
+        "srl_model": args.srl_model,
+        "shape_reward": args.shape_reward,
+        "is_discrete": not args.continuous_actions,
+        "action_joints": args.action_joints,
+        "random_target": args.random_target,
+        "action_repeat": args.action_repeat,
+    }
+    # SAC/DDPG are continuous-only: force it.
+    if ActionType.DISCRETE not in action_types:
+        env_kwargs["is_discrete"] = False
+
+    log_dir, env_kwargs = configure_env_and_log_folder(args, env_kwargs)
+    printGreen(f"Log dir: {log_dir}")
+
+    # Config snapshots (train.py:282-283).
+    with open(os.path.join(log_dir, "args.json"), "w") as f:
+        json.dump(
+            {k: v for k, v in vars(args).items()
+             if isinstance(v, (int, float, str, bool, list, type(None)))},
+            f, indent=2,
+        )
+
+    env = build_env(args, env_kwargs)
+    save_env_params(log_dir, getattr(env, "_env", env))
+
+    hyperparams = algo_class.parserHyperParam(args.hyperparam)
+
+    num_envs = args.num_envs
+    if num_envs is None:
+        num_envs = 16
+
+    kwargs = {}
+    sig = inspect.signature(algo_class.__init__)
+    if "num_envs" in sig.parameters:
+        kwargs["num_envs"] = num_envs
+    if "config" in sig.parameters and hyperparams:
+        # Build the algo config dataclass with 'k:v' hyperparam overrides
+        # (the reference's parserHyperParam -> train_kwargs path).
+        default = getattr(algo_class(), "config", None)
+        if default is not None:
+            cfg_kwargs = {**dataclasses.asdict(default), **hyperparams}
+            kwargs["config"] = type(default)(**cfg_kwargs)
+
+    agent = algo_class(env=env, **kwargs)
+
+    # Fine-tune path: load pretrained weights, anneal lr (train.py:324-332).
+    if args.load_rl_model_path is not None:
+        printYellow(f"Fine-tuning from {args.load_rl_model_path}")
+        loaded = algo_class.load(args.load_rl_model_path, env=env)
+        agent.state = loaded.state
+
+    monitor = MonitorWriter(log_dir, env_id=args.env)
+    callback = make_callback(log_dir, args, monitor, agent)
+
+    # 1.1x inflation so the last save interval fits (train.py:319).
+    total = int(args.num_timesteps * 1.1)
+    t0 = time.time()
+    agent.learn(total, seed=args.seed, callback=callback)
+    printGreen(f"Training done in {time.time() - t0:.1f}s")
+
+    # Always leave a final model on disk even below the episode threshold.
+    final_path = os.path.join(log_dir, f"{args.algo}_final_model.pkl")
+    agent.save(final_path)
+    monitor.close()
+
+    if not args.no_vis:
+        try:
+            from srl_tpu.experiments.visualize import plot_log_dir
+
+            plot_log_dir(log_dir, title=f"{args.env} ({args.srl_model}, {args.algo})")
+        except Exception as e:  # plotting must never kill a finished run
+            printRed(f"Plotting failed: {e}")
+    return log_dir
+
+
+if __name__ == "__main__":
+    main()
