@@ -73,6 +73,10 @@ def parse_args(argv=None):
     parser.add_argument("--latest", action="store_true", default=False,
                         help="Use the latest trained SRL model for the env")
     parser.add_argument("--load-rl-model-path", type=str, default=None)
+    parser.add_argument("--policy", type=str, default="auto",
+                        choices=["auto", "mlp", "cnn", "lstm", "lnlstm",
+                                 "cnnlstm", "cnnlnlstm"],
+                        help="Network architecture (base_classes.py:227-246)")
     parser.add_argument("--shape-reward", action="store_true", default=False)
     parser.add_argument("-c", "--continuous-actions", action="store_true",
                         default=False)
@@ -154,6 +158,11 @@ def build_env(args, env_kwargs):
 
         model = loadSRLModel(env_kwargs["srl_model_path"])
         env = SRLEncodedEnv(env, model)
+
+    if getattr(args, "num_stack", 1) > 1:
+        from srl_tpu.core.frame_stack import FrameStack
+
+        env = FrameStack(env, args.num_stack)
     return env
 
 
@@ -268,10 +277,22 @@ def main(argv=None):
     if num_envs is None:
         num_envs = 16
 
+    # Recurrent policy variants route ppo2 to the LSTM implementation
+    # (the reference's policy selection, base_classes.py:227-246).
+    if "lstm" in args.policy:
+        assert args.algo == "ppo2", (
+            "Error: recurrent policies are currently supported for ppo2"
+        )
+        from srl_tpu.agents.recurrent_ppo import RecurrentPPO2
+
+        algo_class = RecurrentPPO2
+
     kwargs = {}
     sig = inspect.signature(algo_class.__init__)
     if "num_envs" in sig.parameters:
         kwargs["num_envs"] = num_envs
+    if "policy" in sig.parameters and args.policy != "auto":
+        kwargs["policy"] = args.policy
     if "config" in sig.parameters and hyperparams:
         # Build the algo config dataclass with 'k:v' hyperparam overrides
         # (the reference's parserHyperParam -> train_kwargs path).
