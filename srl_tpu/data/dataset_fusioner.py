@@ -13,7 +13,7 @@ import shutil
 
 import numpy as np
 
-from srl_tpu.srl.episode_saver import load_dataset
+from srl_tpu.srl.episode_saver import load_dataset, save_frames
 from srl_tpu.utils.logging import printGreen
 
 
@@ -65,9 +65,7 @@ def fuse_datasets(src1: str, src2: str, dst: str, remove_sources: bool = True) -
         ground_truth_states=merged["ground_truth_states"],
         images_path=merged["images_path"],
     )
-    np.savez_compressed(
-        os.path.join(dst, "frames.npz"), frames=merged["observations"]
-    )
+    save_frames(dst, merged["observations"])
     for extra in ("dataset_config.json", "env_globals.json"):
         src_file = os.path.join(src1, extra)
         if os.path.exists(src_file):

@@ -120,18 +120,48 @@ class EpisodeSaver:
         }
         np.savez(os.path.join(self.data_folder, "preprocessed_data.npz"), **data)
         np.savez(os.path.join(self.data_folder, "ground_truth.npz"), **ground_truth)
-        np.savez_compressed(
-            os.path.join(self.data_folder, "frames.npz"),
-            frames=np.stack(self.images) if self.images else np.zeros((0,)),
-        )
+        frames = np.stack(self.images) if self.images else np.zeros((0, 1), np.uint8)
+        self._save_frames(frames)
         return self.data_folder
+
+    def _save_frames(self, frames: np.ndarray):
+        save_frames(self.data_folder, frames)
+
+
+def save_frames(data_folder: str, frames: np.ndarray):
+    """Frames go through the native async framestore when available
+    (srl_tpu/native/framestore.cpp) — raw chunked file + mmap reads — with
+    np.savez_compressed as the pure-Python fallback."""
+    try:
+        from srl_tpu.native import FrameStoreWriter, available
+
+        if available() and frames.ndim >= 2 and frames.dtype == np.uint8:
+            with FrameStoreWriter(
+                os.path.join(data_folder, "frames.srlf"),
+                frames.shape[1:], frames.dtype,
+            ) as w:
+                w.push(frames)
+            return
+    except Exception:
+        pass
+    np.savez_compressed(os.path.join(data_folder, "frames.npz"), frames=frames)
+
+
+def load_frames(data_folder: str) -> np.ndarray:
+    srlf = os.path.join(data_folder, "frames.srlf")
+    if os.path.exists(srlf):
+        from srl_tpu.native import FrameStoreReader
+
+        with FrameStoreReader(srlf) as r:
+            return np.array(r.frames)
+    return np.load(os.path.join(data_folder, "frames.npz"))["frames"]
 
 
 def load_dataset(data_folder: str) -> Dict[str, np.ndarray]:
     """Load a recorded dataset into the trainer's dict format."""
     pre = np.load(os.path.join(data_folder, "preprocessed_data.npz"))
     gt = np.load(os.path.join(data_folder, "ground_truth.npz"))
-    frames = np.load(os.path.join(data_folder, "frames.npz"))["frames"]
+    frames = load_frames(data_folder)
     return {
         "observations": frames,
         "actions": pre["actions"],
