@@ -255,24 +255,42 @@ class PPO2(BaseRLAgent):
         seed: int = 0,
         callback: Optional[Callable] = None,
         log_interval: Optional[int] = None,
+        updates_per_call: int = 1,
     ) -> PPOState:
         """Host-side driver: repeatedly invoke the jitted train_iteration and
-        surface episode stats (train.py:111-169 callback semantics)."""
+        surface episode stats (train.py:111-169 callback semantics).
+
+        ``updates_per_call > 1`` scans that many full PPO updates inside ONE
+        jit call — the TPU-idiomatic mode: host<->device round-trips happen
+        once per K updates instead of per update (callback granularity drops
+        to K accordingly)."""
         cfg = self.config
         steps_per_update = cfg.n_steps * self.num_envs
         n_updates = max(1, total_timesteps // steps_per_update)
+        k = max(1, min(updates_per_call, n_updates))
 
         state = self.init_state(jax.random.PRNGKey(seed), n_updates)
-        jit_iter = jax.jit(self.train_iteration, donate_argnums=0)
+
+        if k == 1:
+            jit_iter = jax.jit(self.train_iteration, donate_argnums=0)
+        else:
+            def k_updates(state):
+                def body(s, _):
+                    s, metrics = self.train_iteration(s)
+                    return s, metrics
+
+                return jax.lax.scan(body, state, None, length=k)
+
+            jit_iter = jax.jit(k_updates, donate_argnums=0)
 
         episode_returns = []
         episode_lengths = []
         t_start = time.time()
         num_timesteps = 0
-        for update in range(n_updates):
+        for update in range(0, n_updates, k):
             state, metrics = jit_iter(state)
             self.state = state
-            num_timesteps += steps_per_update
+            num_timesteps += steps_per_update * k
             ep_ret = np.asarray(metrics["episode_return"])
             finished = ~np.isnan(ep_ret)
             if finished.any():
@@ -281,16 +299,25 @@ class PPO2(BaseRLAgent):
                     np.asarray(metrics["episode_length"])[finished].tolist()
                 )
             if callback is not None:
+                # With k > 1, scalar metrics arrive stacked [k]; expose means.
+                cb_metrics = jax.tree.map(
+                    lambda x: x if k == 1 else x[-1] if x.ndim == 0 else x,
+                    metrics,
+                ) if k == 1 else {
+                    name: (np.asarray(v).mean() if np.asarray(v).ndim <= 1
+                           else np.asarray(v))
+                    for name, v in metrics.items()
+                }
                 callback(
                     {
                         "self": self,
                         "state": state,
-                        "update": update,
+                        "update": update + k - 1,
                         "n_updates": n_updates,
                         "num_timesteps": num_timesteps,
                         "episode_returns": episode_returns,
                         "episode_lengths": episode_lengths,
-                        "metrics": metrics,
+                        "metrics": cb_metrics,
                         "fps": num_timesteps / max(time.time() - t_start, 1e-9),
                     },
                     {},

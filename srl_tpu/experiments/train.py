@@ -73,6 +73,9 @@ def parse_args(argv=None):
     parser.add_argument("--latest", action="store_true", default=False,
                         help="Use the latest trained SRL model for the env")
     parser.add_argument("--load-rl-model-path", type=str, default=None)
+    parser.add_argument("--updates-per-call", type=int, default=1,
+                        help="Scan K PPO updates per jit call (fewer host "
+                             "round-trips on TPU)")
     parser.add_argument("--policy", type=str, default="auto",
                         choices=["auto", "mlp", "cnn", "lstm", "lnlstm",
                                  "cnnlstm", "cnnlnlstm"],
@@ -315,7 +318,13 @@ def main(argv=None):
     # 1.1x inflation so the last save interval fits (train.py:319).
     total = int(args.num_timesteps * 1.1)
     t0 = time.time()
-    agent.learn(total, seed=args.seed, callback=callback)
+    learn_kwargs = {}
+    if getattr(args, "updates_per_call", 1) > 1 and hasattr(agent, "learn"):
+        import inspect as _inspect
+
+        if "updates_per_call" in _inspect.signature(agent.learn).parameters:
+            learn_kwargs["updates_per_call"] = args.updates_per_call
+    agent.learn(total, seed=args.seed, callback=callback, **learn_kwargs)
     printGreen(f"Training done in {time.time() - t0:.1f}s")
 
     # Always leave a final model on disk even below the episode threshold.
