@@ -56,8 +56,11 @@ def parse_args(argv=None):
     parser.add_argument("--env", default="KukaButtonGymEnv-v0",
                         choices=list(registered_env.keys()))
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--episode-window", type=int, default=40,
+    parser.add_argument("--episode_window", "--episode-window",
+                        dest="episode_window", type=int, default=40,
                         help="Episode window for moving average plot")
+    parser.add_argument("--port", type=int, default=8097,
+                        help="(compat) visdom port — plots go to PNG here")
     parser.add_argument("--log-dir", default="logs/",
                         help="Directory for the experiment logs")
     parser.add_argument("--num-timesteps", type=int, default=int(1e6))
