@@ -77,6 +77,16 @@ def main():
     except ImportError:
         pass
 
+    # Informational: the rendered-observation path (224x224x3 per step).
+    try:
+        steps, dt = bench_env(
+            MobileRobotEnv(srl_model="raw_pixels"), num_envs=256, n_steps=32,
+            n_iters=3,
+        )
+        parts["mobile_robot_raw_pixels"] = steps / dt
+    except Exception:
+        pass
+
     value = total_steps / total_time
     print(
         json.dumps(

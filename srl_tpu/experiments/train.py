@@ -76,6 +76,9 @@ def parse_args(argv=None):
     parser.add_argument("--latest", action="store_true", default=False,
                         help="Use the latest trained SRL model for the env")
     parser.add_argument("--load-rl-model-path", type=str, default=None)
+    parser.add_argument("--profile", action="store_true", default=False,
+                        help="Write a jax.profiler trace of the first "
+                             "updates into the log dir")
     parser.add_argument("--updates-per-call", type=int, default=1,
                         help="Scan K PPO updates per jit call (fewer host "
                              "round-trips on TPU)")
@@ -299,13 +302,22 @@ def main(argv=None):
         kwargs["num_envs"] = num_envs
     if "policy" in sig.parameters and args.policy != "auto":
         kwargs["policy"] = args.policy
-    if "config" in sig.parameters and hyperparams:
-        # Build the algo config dataclass with 'k:v' hyperparam overrides
+    if "config" in sig.parameters:
+        # Algo config = defaults <- matching CLI flags (customArguments,
+        # e.g. ddpg's --noise-action) <- 'k:v' hyperparam overrides
         # (the reference's parserHyperParam -> train_kwargs path).
         default = getattr(algo_class(), "config", None)
         if default is not None:
-            cfg_kwargs = {**dataclasses.asdict(default), **hyperparams}
-            kwargs["config"] = type(default)(**cfg_kwargs)
+            cfg_kwargs = dataclasses.asdict(default)
+            cli_overrides = {
+                k: v for k, v in vars(args).items()
+                if k in cfg_kwargs and v is not None
+                and parser.get_default(k) != v
+            }
+            cfg_kwargs.update(cli_overrides)
+            cfg_kwargs.update(hyperparams)
+            if cli_overrides or hyperparams:
+                kwargs["config"] = type(default)(**cfg_kwargs)
 
     agent = algo_class(env=env, **kwargs)
 
@@ -327,7 +339,15 @@ def main(argv=None):
 
         if "updates_per_call" in _inspect.signature(agent.learn).parameters:
             learn_kwargs["updates_per_call"] = args.updates_per_call
-    agent.learn(total, seed=args.seed, callback=callback, **learn_kwargs)
+    if args.profile:
+        # First-class profiling (SURVEY §5): a jax.profiler trace of the
+        # training loop lands next to the logs.
+        import jax
+
+        with jax.profiler.trace(os.path.join(log_dir, "profile")):
+            agent.learn(total, seed=args.seed, callback=callback, **learn_kwargs)
+    else:
+        agent.learn(total, seed=args.seed, callback=callback, **learn_kwargs)
     printGreen(f"Training done in {time.time() - t0:.1f}s")
 
     # Always leave a final model on disk even below the episode threshold.
