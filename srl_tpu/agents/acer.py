@@ -254,7 +254,8 @@ class ACER(BaseRLAgent):
             g = g - adj * k
             g_logits = -g
 
-        total_g_logits = (g_logits + gq_logits * 0).reshape(-1, self.n_act)
+        # The q-loss has no logits dependency (gq_logits is identically 0).
+        total_g_logits = g_logits.reshape(-1, self.n_act)
         total_g_q = (g_q * cfg.q_coef).reshape(-1, self.n_act)
         (grads,) = vjp_fn((total_g_logits, total_g_q))
         return grads

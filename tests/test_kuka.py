@@ -187,3 +187,24 @@ def test_shaped_rewards():
     tip = kin.fk(state.q)[4]
     expected = -np.linalg.norm(np.asarray(state.buttons[0]) - np.asarray(tip))
     np.testing.assert_allclose(float(r), expected, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_kuka_ppo_learns_ground_truth():
+    """PPO on KukaButton ground_truth: returns improve (the arm learns to
+    descend onto the button for repeated +1 contacts)."""
+    from srl_tpu.agents.ppo import PPO2
+
+    env = KukaButtonEnv(srl_model="ground_truth")
+    agent = PPO2(env=env, num_envs=32)
+    rets = []
+
+    def cb(l, g):
+        if len(l["episode_returns"]) >= 10:
+            rets.append(np.mean(l["episode_returns"][-10:]))
+
+    agent.learn(total_timesteps=250_000, seed=0, callback=cb)
+    assert rets, "no episodes finished"
+    early = np.mean(rets[:3])
+    late = np.mean(rets[-3:])
+    assert late > early + 2, f"no learning: early={early:.2f} late={late:.2f}"

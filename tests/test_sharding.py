@@ -123,3 +123,38 @@ def test_graft_dryrun_multichip():
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     m.dryrun_multichip(8)
+
+
+@pytest.mark.fast
+def test_mixed_env_fleet_sharded():
+    """Mixed Kuka + Omnirobot fleets stepped in ONE jitted function over the
+    dp mesh (the pod-scale config shape from BASELINE.json, scaled down)."""
+    from srl_tpu.envs.kuka import KukaButtonEnv
+    from srl_tpu.envs.omnirobot import OmniRobotEnv
+
+    mesh = make_mesh(n_devices=8, tp=1)
+    kuka = VecEnv(KukaButtonEnv(srl_model="ground_truth"), 32)
+    omni = VecEnv(OmniRobotEnv(srl_model="ground_truth"), 32)
+    kstate, _ = kuka.reset(jax.random.PRNGKey(0))
+    ostate, _ = omni.reset(jax.random.PRNGKey(1))
+    from srl_tpu.core.env import VecEnvState
+
+    shard = lambda vs: VecEnvState(
+        env_state=shard_batch(vs.env_state, mesh),
+        ep_return=shard_batch(vs.ep_return, mesh),
+        ep_length=shard_batch(vs.ep_length, mesh),
+        key=vs.key,
+    )
+    kstate, ostate = shard(kstate), shard(ostate)
+
+    @jax.jit
+    def mixed_step(kstate, ostate, key):
+        k1, k2 = jax.random.split(key)
+        ka = jax.random.randint(k1, (32,), 0, 6)
+        oa = jax.random.randint(k2, (32,), 0, 4)
+        kstate, ktr = kuka.step(kstate, ka)
+        ostate, otr = omni.step(ostate, oa)
+        return kstate, ostate, ktr.reward.sum() + otr.reward.sum()
+
+    kstate, ostate, total = mixed_step(kstate, ostate, jax.random.PRNGKey(2))
+    assert np.isfinite(float(total))
