@@ -5,14 +5,31 @@ Replaces stable-baselines ACKTR as wrapped by rl_baselines/rl_algorithm/acktr.py
 acktr.py:42-43). Defaults follow stable-baselines: n_steps=20, lr 0.25 with
 momentum 0.9, vf_coef 0.25, ent_coef 0.01, gamma 0.99, kfac_clip 0.001.
 
-The policy is an explicit two-layer tanh MLP written with manual
-forward/backward so every layer's input activations `a` and pre-activation
-gradients `g` are available: K-FAC maintains EMA Kronecker factors
-A = E[a aᵀ] (bias-augmented) and G = E[g gᵀ] per layer and preconditions the
-gradient as (A+λI)⁻¹ dW (G+λI)⁻¹, with a trust-region rescale from the
-preconditioned gradient norm (the kl_clip rule). All linear algebra is tiny
-(layer widths ≤ 64) and stays on device inside the jitted update. Pixel
-observations fall back to the A2C update path (acktr's own guidance).
+The policy is written explicitly (no Flax) so every layer's input
+activations `a` are available: K-FAC maintains EMA Kronecker factors
+A = E[a aᵀ] (bias-augmented) and G per layer and preconditions the gradient
+as (A+λI)⁻¹ dW (G+λI)⁻¹, with a trust-region rescale from the preconditioned
+gradient norm (the kl_clip rule). Two policy torsos:
+
+- ``mlp``: two 64-unit tanh layers; all factors are ≤65² and the whole
+  update stays inside one jitted step.
+- ``cnn`` (auto-selected for image observations): Nature-CNN convs
+  (32x8s4, 64x4s2, 64x3s1, bfloat16 on the MXU) + 4x4 avg-pool + fc512.
+  Conv layers use the KFC approximation (Grosse & Martens): A is the
+  covariance of bias-augmented im2col patches
+  (``lax.conv_general_dilated_patches``, channel order cin,kh,kw) over a
+  subsample of the batch; the kernel gradient is flattened in the same
+  order. The avg-pool bounds the fc factor at (6·6·64+1)² for 224x224
+  inputs so every inverse stays MXU-sized.
+
+For both torsos G is the true-Fisher output-gradient covariance E[g gᵀ],
+estimated on a batch subsample: targets are sampled from the model's own
+predictive distributions (actions from the categorical policy, value targets
+v+ε with unit Gaussian ε) and each layer's per-sample pre-activation
+gradient is read off as the per-sample gradient of its bias
+(``vmap(grad(...))`` — one extra batched backward pass per update; for conv
+layers this sums g over spatial locations, the standard KFC "gradient"
+flavor). The kl_clip trust-region rescale absorbs residual scale error.
 """
 from __future__ import annotations
 
@@ -34,7 +51,11 @@ from srl_tpu.core.normalize import RunningNorm
 @dataclasses.dataclass
 class ACKTRConfig:
     n_steps: int = 20
-    learning_rate: float = 0.25
+    # The reference harness runs ACKTR at 7e-4 (rl_algorithm/acktr.py:51),
+    # not stable-baselines' raw 0.25 — the trust region then only has to
+    # guard occasional curvature spikes.
+    learning_rate: float = 7e-4
+    lr_schedule: str = "constant"
     momentum: float = 0.9
     vf_coef: float = 0.25
     ent_coef: float = 0.01
@@ -44,6 +65,7 @@ class ACKTRConfig:
     stat_decay: float = 0.95
     max_grad_norm: float = 0.5
     hidden: int = 64
+    kfac_obs_samples: int = 32  # batch subsample for conv patch covariances
 
 
 @struct.dataclass
@@ -69,19 +91,77 @@ class ACKTR(BaseRLAgent):
         self.num_envs = num_envs
         self.config = config or ACKTRConfig()
         self.policy_kind = policy
+        self.is_cnn = policy == "cnn"
         if env is not None:
             self.vec_env = VecEnv(env, num_envs)
             self.n_act = env.action_space.n
-            self.obs_dim = int(np.prod(env.observation_space.shape))
+            obs_shape = env.observation_space.shape
+            self.obs_dim = int(np.prod(obs_shape))
+            self.is_cnn = policy == "cnn" or (
+                policy == "auto" and len(obs_shape) == 3
+            )
+            if self.is_cnn:
+                self._cnn_geometry(obs_shape)
             if normalize_obs is None:
-                normalize_obs = env.srl_model != "raw_pixels"
+                normalize_obs = (
+                    env.srl_model != "raw_pixels" and not self.is_cnn
+                )
             self.normalize_obs = normalize_obs
 
-    # ---- explicit MLP ---------------------------------------------------
+    def _cnn_geometry(self, obs_shape):
+        """Static conv/pool output shapes (all shapes must be known at
+        trace time for the jitted update)."""
+        H, W, C = obs_shape
+        self.cnn_in_channels = C
+        o = lambda d, k, s: (d - k) // s + 1
+        h1, w1 = o(H, 8, 4), o(W, 8, 4)
+        h2, w2 = o(h1, 4, 2), o(w1, 4, 2)
+        h3, w3 = o(h2, 3, 1), o(w2, 3, 1)
+        self.pool = max(1, min(4, h3, w3))
+        ph, pw = h3 // self.pool, w3 // self.pool
+        self.cnn_flat_dim = ph * pw * 64
+
+    # ---- explicit policies ----------------------------------------------
+    def _layer_specs(self):
+        """(weight, bias, kind, conv geometry) for every K-FAC'd layer."""
+        if self.is_cnn:
+            return [
+                ("C1", "cb1", "conv", {"k": 8, "s": 4}),
+                ("C2", "cb2", "conv", {"k": 4, "s": 2}),
+                ("C3", "cb3", "conv", {"k": 3, "s": 1}),
+                ("Wfc", "bfc", "dense", {}),
+                ("Wpi", "bpi", "dense", {}),
+                ("Wv", "bv", "dense", {}),
+            ]
+        return [
+            ("W1", "b1", "dense", {}),
+            ("W2", "b2", "dense", {}),
+            ("Wpi", "bpi", "dense", {}),
+            ("Wv", "bv", "dense", {}),
+        ]
+
     def _init_params(self, key):
         h = self.config.hidden
-        k1, k2, k3, k4 = jax.random.split(key, 4)
         ortho = jax.nn.initializers.orthogonal(np.sqrt(2))
+        if self.is_cnn:
+            k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+            C = self.cnn_in_channels
+            return {
+                "C1": ortho(k1, (8, 8, C, 32)),
+                "cb1": jnp.zeros(32),
+                "C2": ortho(k2, (4, 4, 32, 64)),
+                "cb2": jnp.zeros(64),
+                "C3": ortho(k3, (3, 3, 64, 64)),
+                "cb3": jnp.zeros(64),
+                "Wfc": ortho(k4, (self.cnn_flat_dim, 512)),
+                "bfc": jnp.zeros(512),
+                "Wpi": jax.nn.initializers.orthogonal(0.01)(
+                    k5, (512, self.n_act)),
+                "bpi": jnp.zeros(self.n_act),
+                "Wv": jax.nn.initializers.orthogonal(1.0)(k6, (512, 1)),
+                "bv": jnp.zeros(1),
+            }
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         return {
             "W1": ortho(k1, (self.obs_dim, h)),
             "b1": jnp.zeros(h),
@@ -93,8 +173,65 @@ class ACKTR(BaseRLAgent):
             "bv": jnp.zeros(1),
         }
 
+    @staticmethod
+    def _conv(x, W, stride):
+        return jax.lax.conv_general_dilated(
+            x, W.astype(x.dtype), (stride, stride), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def _forward_cnn(self, params, x):
+        x = x.astype(jnp.float32) / 255.0
+        xb = x.astype(jnp.bfloat16)
+        h1 = jax.nn.relu(self._conv(xb, params["C1"], 4)
+                         + params["cb1"].astype(jnp.bfloat16))
+        h2 = jax.nn.relu(self._conv(h1, params["C2"], 2)
+                         + params["cb2"].astype(jnp.bfloat16))
+        h3 = jax.nn.relu(self._conv(h2, params["C3"], 1)
+                         + params["cb3"].astype(jnp.bfloat16))
+        p = self.pool
+        pooled = jax.lax.reduce_window(
+            h3.astype(jnp.float32), 0.0, jax.lax.add,
+            (1, p, p, 1), (1, p, p, 1), "VALID",
+        ) / (p * p)
+        flat = pooled.reshape(pooled.shape[0], -1)
+        latent = jax.nn.relu(flat @ params["Wfc"] + params["bfc"])
+        logits = latent @ params["Wpi"] + params["bpi"]
+        value = (latent @ params["Wv"] + params["bv"])[..., 0]
+        acts = {"C1": x, "C2": h1.astype(jnp.float32),
+                "C3": h2.astype(jnp.float32), "Wfc": flat,
+                "Wpi": latent, "Wv": latent}
+        return logits, value, acts
+
+    def _fisher_G(self, params, obs_sub, key):
+        """True-Fisher G per layer: E[g gᵀ] over a batch subsample, with
+        targets sampled from the model's own distributions. The per-sample
+        pre-activation gradient of layer ℓ is exactly the per-sample
+        gradient of its bias (summed over spatial locations for convs)."""
+        logits, value, _ = self._forward(params, obs_sub)
+        k1, k2 = jax.random.split(key)
+        a_samp = jax.random.categorical(k1, logits)
+        v_noise = jax.random.normal(k2, value.shape)
+        bias_names = [b for _, b, _, _ in self._layer_specs()]
+        bias_params = {b: params[b] for b in bias_names}
+
+        def per_sample_loss(bp, x1, a1, n1):
+            p = {**params, **bp}
+            lg, v, _ = self._forward(p, x1[None])
+            lp = jax.nn.log_softmax(lg)[0, a1]
+            vf = 0.5 * jnp.square(v[0] - jax.lax.stop_gradient(v[0] + n1))
+            return -lp + vf
+
+        g = jax.vmap(jax.grad(per_sample_loss), in_axes=(None, 0, 0, 0))(
+            bias_params, obs_sub, a_samp, v_noise
+        )
+        n = obs_sub.shape[0]
+        return {b: g[b].T @ g[b] / n for b in bias_names}
+
     def _forward(self, params, x):
-        """Returns (logits, value, activations dict)."""
+        """Returns (logits, value, per-layer input activations)."""
+        if self.is_cnn:
+            return self._forward_cnn(params, x)
         x = x.reshape(x.shape[0], -1)
         z1 = x @ params["W1"] + params["b1"]
         a1 = jnp.tanh(z1)
@@ -106,7 +243,7 @@ class ACKTR(BaseRLAgent):
         return logits, value, acts
 
     # ------------------------------------------------------------------
-    def train_iteration(self, state: ACKTRState):
+    def train_iteration(self, state: ACKTRState, progress=0.0):
         cfg = self.config
 
         def rollout_body(carry, _):
@@ -125,7 +262,7 @@ class ACKTR(BaseRLAgent):
                    tr.episode_return, tr.episode_length)
             return (vstate, tr.obs, obs_norm, k), out
 
-        key, k_roll = jax.random.split(state.key)
+        key, k_roll, k_fisher = jax.random.split(state.key, 3)
         (vstate, obs, obs_norm, _), (
             b_obs, b_act, b_val, b_rew, b_done, ep_ret, ep_len
         ) = jax.lax.scan(
@@ -139,7 +276,7 @@ class ACKTR(BaseRLAgent):
         )
 
         T, N = cfg.n_steps, self.num_envs
-        flat_obs = b_obs.reshape(T * N, -1)
+        flat_obs = b_obs.reshape((T * N,) + b_obs.shape[2:])
         flat_act = b_act.reshape(-1)
         flat_adv = advantages.reshape(-1)
         flat_ret = returns.reshape(-1)
@@ -156,30 +293,51 @@ class ACKTR(BaseRLAgent):
         (loss, acts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g))
+                             for g in jax.tree.leaves(grads)))
+        clip = jnp.minimum(1.0, cfg.max_grad_norm / (gnorm + 1e-8))
+        grads = jax.tree.map(lambda g: g * clip, grads)
+
+        fisher_G = self._fisher_G(
+            state.params, flat_obs[: cfg.kfac_obs_samples], k_fisher
+        )
 
         # ---- K-FAC factors and preconditioning ----
-        B = flat_obs.shape[0]
-
         def aug(a):  # bias-augmented activations
             return jnp.concatenate([a, jnp.ones((a.shape[0], 1))], axis=1)
 
         kfac_A, kfac_G = {}, {}
         precond = dict(grads)
-        for layer in ("W1", "W2", "Wpi", "Wv"):
-            a = aug(acts[layer])  # [B, in+1]
-            A_new = a.T @ a / B
-            # Pre-activation grad covariance recovered from dW, db: build the
-            # combined [in+1, out] gradient and use its factorization target.
-            dW = jnp.concatenate(
-                [grads[layer], grads["b" + layer[1:]][None, :]], axis=0
-            )
-            # G from the output-gradient second moment estimated via dW:
-            # E[g gᵀ] ≈ (A⁻¹ dW)ᵀ dW as a tractable surrogate; keep EMA.
-            G_new = dW.T @ dW / dW.shape[0]
+        for wname, bname, kind, geom in self._layer_specs():
+            if kind == "conv":
+                # KFC: A over im2col patches (channel order cin,kh,kw — the
+                # conv_general_dilated_patches layout) of a batch subsample.
+                sub = acts[wname][: cfg.kfac_obs_samples]
+                patches = jax.lax.conv_general_dilated_patches(
+                    sub, (geom["k"], geom["k"]), (geom["s"], geom["s"]),
+                    "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                a2d = patches.reshape(-1, patches.shape[-1])
+                kh, kw, cin, cout = grads[wname].shape
+                dW_k = grads[wname].transpose(2, 0, 1, 3).reshape(-1, cout)
+            else:
+                a2d = acts[wname]
+                dW_k = grads[wname]
+            a = aug(a2d)  # [rows, in+1]
+            A_new = a.T @ a / a.shape[0]
+            dW = jnp.concatenate([dW_k, grads[bname][None, :]], axis=0)
+            G_new = fisher_G[bname]
 
-            A = cfg.stat_decay * state.kfac_A[layer] + (1 - cfg.stat_decay) * A_new
-            G = cfg.stat_decay * state.kfac_G[layer] + (1 - cfg.stat_decay) * G_new
-            kfac_A[layer], kfac_G[layer] = A, G
+            A = cfg.stat_decay * state.kfac_A[wname] + (1 - cfg.stat_decay) * A_new
+            G = cfg.stat_decay * state.kfac_G[wname] + (1 - cfg.stat_decay) * G_new
+            kfac_A[wname], kfac_G[wname] = A, G
+            # Zero-init EMA + bias correction: the factors are unbiased
+            # covariance estimates from the very first update (identity init
+            # would make early "natural" steps just plain gradients at lr).
+            corr = 1.0 - cfg.stat_decay ** (state.update_idx + 1).astype(
+                jnp.float32
+            )
+            A, G = A / corr, G / corr
 
             pi = jnp.sqrt(
                 (jnp.trace(A) / A.shape[0]) / (jnp.trace(G) / G.shape[0] + 1e-8)
@@ -192,16 +350,24 @@ class ACKTR(BaseRLAgent):
                 G + jnp.sqrt(cfg.damping) / pi * jnp.eye(G.shape[0])
             )
             nat = A_inv @ dW @ G_inv  # [in+1, out]
-            precond[layer] = nat[:-1]
-            precond["b" + layer[1:]] = nat[-1]
+            if kind == "conv":
+                precond[wname] = (
+                    nat[:-1].reshape(cin, kh, kw, cout).transpose(1, 2, 0, 3)
+                )
+            else:
+                precond[wname] = nat[:-1]
+            precond[bname] = nat[-1]
 
         # Trust-region rescale (kl_clip rule): eta = min(lr,
         # sqrt(2*kl_clip / (gᵀ F⁻¹ g))).
         dot = sum(
             jnp.sum(precond[k] * grads[k]) for k in grads
         )
+        lr_now = cfg.learning_rate
+        if cfg.lr_schedule == "linear":
+            lr_now = cfg.learning_rate * (1.0 - progress)
         eta = jnp.minimum(
-            cfg.learning_rate, jnp.sqrt(2 * cfg.kl_clip / (jnp.abs(dot) + 1e-8))
+            lr_now, jnp.sqrt(2 * cfg.kl_clip / (jnp.abs(dot) + 1e-8))
         )
 
         momentum = jax.tree.map(
@@ -229,11 +395,16 @@ class ACKTR(BaseRLAgent):
         key, k_env, k_p = jax.random.split(key, 3)
         vstate, obs = self.vec_env.reset(k_env)
         params = self._init_params(k_p)
-        h = cfg.hidden
-        sizes = {"W1": (self.obs_dim + 1, h), "W2": (h + 1, h),
-                 "Wpi": (h + 1, self.n_act), "Wv": (h + 1, 1)}
-        kfac_A = {k: jnp.eye(s[0]) for k, s in sizes.items()}
-        kfac_G = {k: jnp.eye(s[1]) for k, s in sizes.items()}
+        kfac_A, kfac_G = {}, {}
+        for wname, _, kind, _ in self._layer_specs():
+            w = params[wname]
+            if kind == "conv":
+                kh, kw, cin, cout = w.shape
+                in_dim, out_dim = kh * kw * cin, cout
+            else:
+                in_dim, out_dim = w.shape
+            kfac_A[wname] = jnp.zeros((in_dim + 1, in_dim + 1))
+            kfac_G[wname] = jnp.zeros((out_dim, out_dim))
         momentum = jax.tree.map(jnp.zeros_like, params)
         obs_norm = (
             RunningNorm.create(self.env.observation_space.shape)
@@ -253,7 +424,7 @@ class ACKTR(BaseRLAgent):
         episode_returns, episode_lengths = [], []
         t0 = time.time()
         for update in range(n_updates):
-            state, metrics = jit_iter(state)
+            state, metrics = jit_iter(state, jnp.float32(update / n_updates))
             self.state = state
             er = np.asarray(metrics["episode_return"])
             fin = ~np.isnan(er)
@@ -310,7 +481,12 @@ class ACKTR(BaseRLAgent):
         self._save_pickle(
             save_path,
             {"name": self.name, "config": dataclasses.asdict(self.config),
-             "num_envs": self.num_envs, "policy_kind": self.policy_kind,
+             "num_envs": self.num_envs,
+             "policy_kind": "cnn" if self.is_cnn else "mlp",
+             "cnn_geom": (
+                 {"pool": self.pool, "flat": self.cnn_flat_dim,
+                  "channels": self.cnn_in_channels}
+                 if self.is_cnn else None),
              "normalize_obs": self.normalize_obs,
              "params": self._to_numpy(self.state.params),
              "obs_norm": (
@@ -327,6 +503,10 @@ class ACKTR(BaseRLAgent):
         agent = cls(env=env, num_envs=d["num_envs"], policy=d["policy_kind"],
                     config=ACKTRConfig(**d["config"]),
                     normalize_obs=d["normalize_obs"])
+        if d.get("cnn_geom") and not hasattr(agent, "pool"):
+            agent.pool = d["cnn_geom"]["pool"]
+            agent.cnn_flat_dim = d["cnn_geom"]["flat"]
+            agent.cnn_in_channels = d["cnn_geom"]["channels"]
         obs_norm = None
         if d["obs_norm"] is not None:
             obs_norm = RunningNorm(

@@ -77,6 +77,36 @@ def test_acer_smoke(tmp_path):
     np.testing.assert_allclose(loaded.getActionProba(obs), p, atol=1e-6)
 
 
+def test_acktr_cnn_kfac():
+    """ACKTR on raw pixels: the Nature-CNN torso with conv K-FAC (KFC
+    patch-covariance factors) updates and keeps the trust-region step
+    finite; save/load roundtrips the conv params."""
+    from srl_tpu.agents.acktr import ACKTR, ACKTRConfig
+
+    env = MobileRobotEnv(srl_model="raw_pixels", max_steps=20)
+    agent = ACKTR(env=env, num_envs=2,
+                  config=ACKTRConfig(n_steps=4, kfac_obs_samples=4))
+    assert agent.is_cnn
+    metrics_log = []
+    state = agent.learn(total_timesteps=4 * 2 * 2, seed=0,
+                        callback=lambda l, g: metrics_log.append(l["metrics"]))
+    assert int(state.update_idx) == 2
+    for m in metrics_log:
+        assert np.isfinite(float(m["loss"]))
+        assert 0 < float(m["eta"]) <= 0.25
+    # Conv factors have KFC shapes: A = (k*k*cin+1)^2, G = cout^2.
+    assert state.kfac_A["C1"].shape == (8 * 8 * 3 + 1,) * 2
+    assert state.kfac_G["C3"].shape == (64, 64)
+    obs = np.zeros((2, 224, 224, 3), np.uint8)
+    p = agent.getActionProba(obs)
+    np.testing.assert_allclose(p.sum(axis=-1), 1.0, atol=1e-4)
+    import tempfile, os as _os
+    path = _os.path.join(tempfile.mkdtemp(), "acktr_cnn.pkl")
+    agent.save(path)
+    loaded = ACKTR.load(path, env=MobileRobotEnv(srl_model="raw_pixels"))
+    np.testing.assert_allclose(loaded.getActionProba(obs), p, atol=1e-5)
+
+
 @pytest.mark.fast
 def test_acktr_smoke():
     from srl_tpu.agents.acktr import ACKTR, ACKTRConfig
