@@ -171,3 +171,59 @@ def load_dataset(data_folder: str) -> Dict[str, np.ndarray]:
         "target_positions": gt["target_positions"],
         "images_path": gt["images_path"],
     }
+
+
+class LogRLStates:
+    """Log (state, normalized state, action, reward) during RL training —
+    SRL-model debugging aid with the reference's file layout
+    (state_representation/episode_saver.py:165-234): ``full_log.npz``,
+    ``states_rewards.npz``, ``normalized_states_rewards.npz`` under
+    ``{log_folder}/log_srl/``.
+
+    Works with batched (vmapped) rollouts: every call may pass ``[N, d]``
+    arrays; rows are stacked along the leading time axis. ``step`` saves to
+    disk whenever the episode ends (``done`` truthy, or all envs done for a
+    batch), matching the per-episode flush of the reference.
+    """
+
+    def __init__(self, log_folder: str):
+        self.log_folder = os.path.join(log_folder, "log_srl")
+        os.makedirs(self.log_folder, exist_ok=True)
+        self.actions: List = []
+        self.rewards: List = []
+        self.states: List = []
+        self.normalized_states: List = []
+
+    def reset(self, normalized_state, state):
+        self.normalized_states.append(np.asarray(normalized_state))
+        self.states.append(np.squeeze(np.asarray(state)))
+
+    def step(self, normalized_state, state, action, reward, done):
+        self.rewards.append(np.asarray(reward))
+        self.actions.append(np.asarray(action))
+        done = np.asarray(done)
+        if done.all():
+            self.save()
+        else:
+            self.normalized_states.append(np.asarray(normalized_state))
+            self.states.append(np.squeeze(np.asarray(state)))
+
+    def save(self):
+        assert len(self.actions) == len(self.rewards)
+        assert len(self.actions) == len(self.normalized_states)
+        assert len(self.actions) == len(self.states)
+        data = {
+            "rewards": np.array(self.rewards),
+            "actions": np.array(self.actions),
+            "states": np.array(self.states),
+            "normalized_states": np.array(self.normalized_states),
+        }
+        np.savez(os.path.join(self.log_folder, "full_log.npz"), **data)
+        np.savez(
+            os.path.join(self.log_folder, "states_rewards.npz"),
+            states=data["states"], rewards=data["rewards"],
+        )
+        np.savez(
+            os.path.join(self.log_folder, "normalized_states_rewards.npz"),
+            states=data["normalized_states"], rewards=data["rewards"],
+        )

@@ -119,3 +119,99 @@ def test_remote_env_constants():
     assert C.Omnirobot.DIST_TO_TARGET_THRESHOLD == 0.2
     assert C.RealBaxter.DELTA_POS == 0.02
     assert C.BaxterGazebo.MAX_DISTANCE == 0.35
+
+
+# ---------------------------------------------------------------------------
+# Marker finder (fiducial detection + planar pose)
+# ---------------------------------------------------------------------------
+
+def _make_tag(code, cell=10):
+    """Render a 9x9-coded tag: dark cell where code==1, white otherwise."""
+    img = np.where(np.kron(code, np.ones((cell, cell))) > 0, 0.0, 255.0)
+    return img
+
+
+def _demo_code():
+    """Dark border ring + asymmetric interior (rotation-unambiguous)."""
+    code = np.zeros((9, 9), np.uint8)
+    code[0, :] = code[-1, :] = code[:, 0] = code[:, -1] = 1
+    code[2, 2] = code[2, 3] = code[3, 2] = 1
+    code[5, 4] = code[6, 6] = code[4, 6] = 1
+    return code
+
+
+def _project_tag(tag_img, K, R, t, length, out_shape=(480, 640)):
+    """Paint the tag plane (z=0 object square, side `length`) into a white
+    camera image via the exact pinhole projection."""
+    from srl_tpu.real_robots.marker_finder import warp_perspective
+
+    half = length / 2.0
+    n = tag_img.shape[0]
+    # tag pixel -> object plane -> camera pixel homography
+    S = np.array([[length / n, 0, -half], [0, length / n, -half], [0, 0, 1.0]])
+    P = K @ np.stack([R[:, 0], R[:, 1], t], axis=1)
+    H = P @ S
+    # pad the tag with a white margin so out-of-tag samples stay white
+    pad = n // 3
+    padded = np.full((n + 2 * pad, n + 2 * pad), 255.0)
+    padded[pad:pad + n, pad:pad + n] = tag_img
+    shift = np.array([[1, 0, pad], [0, 1, pad], [0, 0, 1.0]])
+    return warp_perspective(padded, H @ np.linalg.inv(shift), out_shape)
+
+
+def _rot(yaw, pitch):
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1.0]])
+    Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    return Ry @ Rz
+
+
+@pytest.mark.fast
+def test_marker_finder_detects_pose():
+    """Clean-room fiducial pipeline recovers the tag pose that rendered the
+    image (reference: real_robots/omnirobot_utils/marker_finder.py)."""
+    from srl_tpu.real_robots.marker_finder import MakerFinder
+
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    code = _demo_code()
+    length = 0.2
+    R = _rot(yaw=0.3, pitch=0.15)
+    t = np.array([0.05, -0.03, 1.0])
+    img = _project_tag(_make_tag(code), K, R, t, length)
+
+    finder = MakerFinder({"camera_matrix": K})
+    finder.setMarkerCode("robot", code, length)
+    result = finder.findMarker(img, "robot")
+    assert result is not None, "marker not detected"
+    rot_vec, trans_vec, corners = result
+    np.testing.assert_allclose(trans_vec, t, atol=0.02)
+    # Rotation parity: compare recovered matrix action on the plane axes.
+    theta = np.linalg.norm(rot_vec)
+    k = rot_vec / (theta + 1e-12)
+    Kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    R_rec = np.eye(3) + np.sin(theta) * Kx + (1 - np.cos(theta)) * Kx @ Kx
+    assert np.linalg.norm(R_rec - R) < 0.15, np.linalg.norm(R_rec - R)
+    # Detected corners sit on the true projected square corners.
+    half = length / 2
+    obj = np.array([[-half, -half, 0], [-half, half, 0],
+                    [half, half, 0], [half, -half, 0]])
+    proj = (K @ (R @ obj.T + t[:, None])).T
+    proj = proj[:, :2] / proj[:, 2:3]
+    err = np.abs(np.sort(corners, axis=0) - np.sort(proj, axis=0)).max()
+    assert err < 3.0, err
+
+
+@pytest.mark.fast
+def test_marker_finder_rejects_unknown_code():
+    from srl_tpu.real_robots.marker_finder import MakerFinder
+
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    code = _demo_code()
+    other = _demo_code()
+    other[2:7, 2:7] = 1 - other[2:7, 2:7]  # very different interior
+    img = _project_tag(_make_tag(other), K, _rot(0.2, 0.1),
+                       np.array([0.0, 0.0, 1.2]), 0.2)
+    finder = MakerFinder({"camera_matrix": K})
+    finder.setMarkerCode("robot", code, 0.2)
+    assert finder.findMarker(img, "robot") is None

@@ -158,3 +158,25 @@ def test_mixed_env_fleet_sharded():
 
     kstate, ostate, total = mixed_step(kstate, ostate, jax.random.PRNGKey(2))
     assert np.isfinite(float(total))
+
+
+@pytest.mark.fast
+def test_distributed_wiring():
+    """Multi-host helpers: single-host no-op init, global mesh over all
+    devices with host-contiguous dp ordering, and global env-batch slicing
+    that is independent of local process identity."""
+    from srl_tpu.parallel import distributed as dist
+
+    assert dist.initialize() is False  # single host: no-op
+    mesh = dist.make_global_mesh(tp=2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    mesh = dist.make_global_mesh()
+    assert mesh.shape == {"dp": 8, "tp": 1}
+
+    # 8192 envs over 4 fake hosts: contiguous equal slices.
+    slices = [dist.local_env_slice(8192, process_id=p, process_count=4)
+              for p in range(4)]
+    assert slices[0] == (0, 2048) and slices[-1] == (6144, 8192)
+    assert all(hi - lo == 2048 for lo, hi in slices)
+    with pytest.raises(AssertionError):
+        dist.local_env_slice(100, process_id=0, process_count=3)

@@ -168,3 +168,22 @@ def test_fusion_and_relative_pos(tmp_path):
     ep_idx = np.cumsum(data2["episode_starts"]) - 1
     expected = states_before - data2["target_positions"][ep_idx]
     np.testing.assert_allclose(data2["ground_truth_states"], expected, atol=1e-6)
+
+
+@pytest.mark.fast
+def test_log_rl_states(tmp_path):
+    """LogRLStates writes the reference's three-npz layout and flushes on
+    episode end (state_representation/episode_saver.py:165-234)."""
+    from srl_tpu.srl.episode_saver import LogRLStates
+
+    log = LogRLStates(str(tmp_path))
+    state = np.array([0.1, 0.2])
+    log.reset(state / 2, state)
+    for t in range(4):
+        done = t == 3
+        log.step(state / 2, state, action=1, reward=0.5, done=done)
+    full = np.load(str(tmp_path / "log_srl" / "full_log.npz"))
+    assert full["rewards"].shape == (4,)
+    assert full["states"].shape == (4, 2)
+    norm = np.load(str(tmp_path / "log_srl" / "normalized_states_rewards.npz"))
+    np.testing.assert_allclose(norm["states"], full["normalized_states"])
