@@ -36,10 +36,17 @@ def bench_env(env, num_envs: int, n_steps: int, n_iters: int = 5) -> tuple:
                     sub, (num_envs,) + env.action_space.shape, minval=-1, maxval=1
                 )
             vs, tr = vec.step(vs, actions)
-            return (vs, k), tr.reward
+            # Fold the observation into the output so XLA cannot dead-code-
+            # eliminate the render/observation path (the obs IS the product
+            # of an env step — a reward-only scan would let the compiler
+            # skip rasterization entirely).
+            obs_sum = jnp.sum(tr.obs.astype(jnp.float32))
+            return (vs, k), (tr.reward, obs_sum)
 
-        (vs, _), rewards = jax.lax.scan(body, (vstate, key), None, length=n_steps)
-        return vs, jnp.sum(rewards)
+        (vs, _), (rewards, obs_sums) = jax.lax.scan(
+            body, (vstate, key), None, length=n_steps
+        )
+        return vs, jnp.sum(rewards) + jnp.sum(obs_sums)
 
     # Warmup/compile.
     vstate, r = run(vstate, jax.random.PRNGKey(1))
