@@ -208,3 +208,19 @@ def test_kuka_ppo_learns_ground_truth():
     early = np.mean(rets[:3])
     late = np.mean(rets[-3:])
     assert late > early + 2, f"no learning: early={early:.2f} late={late:.2f}"
+
+
+@pytest.mark.fast
+def test_debug_sandbox(tmp_path):
+    """Headless IK sandbox (environments/debug/kuka_env.py equivalent):
+    tracks a reachable target and writes a rendered frame."""
+    from srl_tpu.envs.debug import main, track
+    from srl_tpu.ops import kinematics as kin
+
+    q, tip, err = track(kin.settled_rest_q(), [0.55, 0.1, 0.3], steps=300)
+    assert err < 0.02, err
+    out = str(tmp_path / "frames")
+    main(["--target", "0.55", "0.1", "0.3", "--out", out])
+    import os
+    assert any(f.endswith(".png") or f.endswith(".npy")
+               for f in os.listdir(out))
