@@ -48,14 +48,17 @@ def bench_env(env, num_envs: int, n_steps: int, n_iters: int = 5) -> tuple:
         )
         return vs, jnp.sum(rewards) + jnp.sum(obs_sums)
 
-    # Warmup/compile.
+    # Warmup/compile. Sync via an actual device->host transfer of the
+    # result scalar: float(...) is a true completion barrier on every
+    # backend, including tunneled remote devices where block_until_ready
+    # has been observed to return before the computation finishes.
     vstate, r = run(vstate, jax.random.PRNGKey(1))
-    jax.block_until_ready(r)
+    float(r)
 
     t0 = time.perf_counter()
     for i in range(n_iters):
         vstate, r = run(vstate, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(r)
+    float(r)
     dt = time.perf_counter() - t0
     return num_envs * n_steps * n_iters, dt
 

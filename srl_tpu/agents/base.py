@@ -90,3 +90,27 @@ class BaseRLAgent:
     def _load_pickle(path: str) -> dict:
         with open(path, "rb") as f:
             return pickle.load(f)
+
+    # ---- crash-resume checkpointing --------------------------------------
+    # Beyond-reference capability (SURVEY §5: the reference can only
+    # fine-tune from a saved policy, not resume a crashed run): the FULL
+    # training-state pytree — params, optimizer state, env batch state,
+    # PRNG key, update counter — is written atomically so training can
+    # continue exactly where it stopped.
+    def save_checkpoint(self, path: str, meta: Optional[dict] = None):
+        """Atomically write the complete training state + progress meta."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(
+                {"state": self._to_numpy(self.state), "meta": meta or {}}, f
+            )
+        os.replace(tmp, path)
+
+    @staticmethod
+    def load_checkpoint(path: str):
+        """Returns (training_state_pytree, meta). Assign the state to
+        ``agent.state`` / pass it as ``learn(initial_state=...)``."""
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        return d["state"], d["meta"]

@@ -256,6 +256,7 @@ class PPO2(BaseRLAgent):
         callback: Optional[Callable] = None,
         log_interval: Optional[int] = None,
         updates_per_call: int = 1,
+        initial_state: Optional[PPOState] = None,
     ) -> PPOState:
         """Host-side driver: repeatedly invoke the jitted train_iteration and
         surface episode stats (train.py:111-169 callback semantics).
@@ -269,7 +270,19 @@ class PPO2(BaseRLAgent):
         n_updates = max(1, total_timesteps // steps_per_update)
         k = max(1, min(updates_per_call, n_updates))
 
-        state = self.init_state(jax.random.PRNGKey(seed), n_updates)
+        if initial_state is not None:
+            # Crash resume: continue from a load_checkpoint() state. The
+            # optimizer transform is rebuilt with the run's original
+            # schedule horizon (completed + remaining updates) so the lr
+            # anneal continues on the same slope; the restored opt_state
+            # carries the schedule step.
+            state = jax.tree.map(jnp.asarray, initial_state)
+            if getattr(self, "_tx", None) is None:
+                self._tx = self._make_optimizer(
+                    int(state.update_idx) + n_updates
+                )
+        else:
+            state = self.init_state(jax.random.PRNGKey(seed), n_updates)
 
         if k == 1:
             jit_iter = jax.jit(self.train_iteration, donate_argnums=0)

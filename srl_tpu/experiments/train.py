@@ -76,6 +76,13 @@ def parse_args(argv=None):
     parser.add_argument("--latest", action="store_true", default=False,
                         help="Use the latest trained SRL model for the env")
     parser.add_argument("--load-rl-model-path", type=str, default=None)
+    parser.add_argument("--checkpoint-interval", type=int, default=0,
+                        help="write a full-training-state checkpoint.pkl "
+                        "every N updates (0 = off); enables --resume")
+    parser.add_argument("--resume", type=str, default=None, metavar="LOG_DIR",
+                        help="resume a crashed/interrupted run from its log "
+                        "dir (restores args.json + checkpoint.pkl and "
+                        "continues in place)")
     parser.add_argument("--profile", action="store_true", default=False,
                         help="Write a jax.profiler trace of the first "
                              "updates into the log dir")
@@ -175,9 +182,16 @@ def build_env(args, env_kwargs):
     return env
 
 
-def make_callback(log_dir: str, args, monitor: MonitorWriter, algo):
-    """Best-model saving + monitor CSV + metrics.jsonl (train.py:111-169)."""
-    state = {"best": -1e4, "n_logged": 0, "n_steps": 0}
+def make_callback(log_dir: str, args, monitor: MonitorWriter, algo,
+                  resume_meta: dict = None):
+    """Best-model saving + monitor CSV + metrics.jsonl (train.py:111-169),
+    plus optional crash-resume checkpoints every --checkpoint-interval."""
+    state = {"best": -1e4, "n_logged": 0, "n_steps": 0,
+             "base_timesteps": 0, "base_episodes": 0}
+    if resume_meta:
+        state["best"] = resume_meta.get("best", state["best"])
+        state["base_timesteps"] = resume_meta.get("num_timesteps", 0)
+        state["base_episodes"] = resume_meta.get("n_episodes", 0)
     metrics_path = os.path.join(log_dir, "metrics.jsonl")
     save_interval = getattr(algo, "SAVE_INTERVAL", 1)
     log_interval = getattr(algo, "LOG_INTERVAL", 10)
@@ -206,12 +220,26 @@ def make_callback(log_dir: str, args, monitor: MonitorWriter, algo):
                         os.path.join(log_dir, f"{args.algo}_model.pkl"), _locals
                     )
 
+        ckpt_interval = getattr(args, "checkpoint_interval", 0)
+        if ckpt_interval and (update + 1) % ckpt_interval == 0:
+            _locals["self"].save_checkpoint(
+                os.path.join(log_dir, "checkpoint.pkl"),
+                meta={
+                    "num_timesteps": state["base_timesteps"]
+                    + _locals["num_timesteps"],
+                    "n_episodes": state["base_episodes"] + len(ep_returns),
+                    "update": update,
+                    "best": state["best"],
+                },
+            )
+
         if (update + 1) % log_interval == 0:
             window = ep_returns[-args.episode_window:]
             entry = {
                 "update": update,
-                "num_timesteps": _locals["num_timesteps"],
-                "n_episodes": len(ep_returns),
+                "num_timesteps": state["base_timesteps"]
+                + _locals["num_timesteps"],
+                "n_episodes": state["base_episodes"] + len(ep_returns),
                 "mean_reward": float(np.mean(window)) if window else None,
                 "fps": _locals.get("fps"),
             }
@@ -243,6 +271,25 @@ def save_env_params(log_dir: str, env) -> None:
 def main(argv=None):
     args, parser = parse_args(argv)
 
+    # Crash resume: restore the run's own args (the reference can only
+    # fine-tune from a policy pickle; this continues the exact run).
+    resume_state, resume_meta = None, None
+    if args.resume:
+        with open(os.path.join(args.resume, "args.json")) as f:
+            stored = json.load(f)
+        for k, v in stored.items():
+            if k not in ("resume", "checkpoint_interval") and hasattr(args, k):
+                setattr(args, k, v)
+        from srl_tpu.agents.base import BaseRLAgent
+
+        resume_state, resume_meta = BaseRLAgent.load_checkpoint(
+            os.path.join(args.resume, "checkpoint.pkl")
+        )
+        printYellow(
+            f"Resuming {args.resume} from "
+            f"{resume_meta.get('num_timesteps', 0)} steps"
+        )
+
     algo_class, algo_type, action_types = registered_rl[args.algo]
 
     if args.continuous_actions:
@@ -267,6 +314,9 @@ def main(argv=None):
         env_kwargs["is_discrete"] = False
 
     log_dir, env_kwargs = configure_env_and_log_folder(args, env_kwargs)
+    if args.resume:
+        os.rmdir(log_dir)  # fresh timestamped dir is unused on resume
+        log_dir = args.resume
     printGreen(f"Log dir: {log_dir}")
 
     # Config snapshots (train.py:282-283).
@@ -327,13 +377,23 @@ def main(argv=None):
         loaded = algo_class.load(args.load_rl_model_path, env=env)
         agent.state = loaded.state
 
-    monitor = MonitorWriter(log_dir, env_id=args.env)
-    callback = make_callback(log_dir, args, monitor, agent)
+    monitor = MonitorWriter(log_dir, env_id=args.env,
+                            append=args.resume is not None)
+    callback = make_callback(log_dir, args, monitor, agent,
+                             resume_meta=resume_meta)
 
     # 1.1x inflation so the last save interval fits (train.py:319).
     total = int(args.num_timesteps * 1.1)
+    if resume_meta is not None:
+        done = int(resume_meta.get("num_timesteps", 0))
+        total = max(0, total - done)
+        assert "initial_state" in inspect.signature(agent.learn).parameters, (
+            f"--resume is not supported for algo '{args.algo}' yet"
+        )
     t0 = time.time()
     learn_kwargs = {}
+    if resume_state is not None:
+        learn_kwargs["initial_state"] = resume_state
     if getattr(args, "updates_per_call", 1) > 1 and hasattr(agent, "learn"):
         import inspect as _inspect
 

@@ -22,16 +22,19 @@ import numpy as np
 class MonitorWriter:
     EXT = "monitor.csv"
 
-    def __init__(self, path: str, env_id: str = "", rank: int = 0):
+    def __init__(self, path: str, env_id: str = "", rank: int = 0,
+                 append: bool = False):
         os.makedirs(path, exist_ok=True)
         self.t_start = time.time()
         self.file_path = os.path.join(path, f"{rank}.{self.EXT}")
-        self._f = open(self.file_path, "w", newline="")
-        self._f.write(
-            "#%s\n" % json.dumps({"t_start": self.t_start, "env_id": env_id})
-        )
+        resuming = append and os.path.exists(self.file_path)
+        self._f = open(self.file_path, "a" if resuming else "w", newline="")
         self._writer = csv.DictWriter(self._f, fieldnames=("r", "l", "t"))
-        self._writer.writeheader()
+        if not resuming:
+            self._f.write(
+                "#%s\n" % json.dumps({"t_start": self.t_start, "env_id": env_id})
+            )
+            self._writer.writeheader()
         self._f.flush()
 
     def write_episode(self, reward: float, length: int, t: Optional[float] = None):

@@ -106,3 +106,44 @@ def test_full_srl_rl_pipeline(tmp_path):
         "--srl-config-file", yaml_path, "--no-vis",
     ])
     assert "autoencoder" in log_dir
+
+
+@pytest.mark.fast
+def test_checkpoint_resume(tmp_path):
+    """Crash-resume: a run writes full-training-state checkpoints; --resume
+    restores args+state and continues the SAME run in place (beyond the
+    reference, which can only fine-tune from a policy pickle)."""
+    import json
+    from srl_tpu.experiments.train import main
+
+    log_dir = main([
+        "--env", "MobileRobotGymEnv-v0", "--srl-model", "ground_truth",
+        "--algo", "ppo2", "--num-timesteps", "2000", "--seed", "3",
+        "--log-dir", str(tmp_path), "--num-envs", "4", "--no-vis",
+        "--checkpoint-interval", "2",
+    ])
+    ckpt = os.path.join(log_dir, "checkpoint.pkl")
+    assert os.path.exists(ckpt)
+    from srl_tpu.agents.base import BaseRLAgent
+
+    state, meta = BaseRLAgent.load_checkpoint(ckpt)
+    steps_before = meta["num_timesteps"]
+    assert steps_before > 0 and meta["update"] >= 1
+
+    # Emulate a crash: the run's target was 8000 steps but it died after
+    # the last checkpoint (edit the snapshot the way a bigger run would
+    # have written it).
+    args_path = os.path.join(log_dir, "args.json")
+    with open(args_path) as f:
+        stored = json.load(f)
+    stored["num_timesteps"] = 8000
+    with open(args_path, "w") as f:
+        json.dump(stored, f)
+
+    log_dir2 = main(["--resume", log_dir, "--checkpoint-interval", "2"])
+    assert log_dir2 == log_dir
+    _, meta2 = BaseRLAgent.load_checkpoint(ckpt)
+    assert meta2["num_timesteps"] > steps_before
+    # The resumed run kept training toward the original target in place.
+    final = os.path.join(log_dir, "ppo2_final_model.pkl")
+    assert os.path.exists(final)
