@@ -131,8 +131,101 @@ def render_mobile_robot(env, state) -> jax.Array:
 
     out = jnp.clip(img * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
     if env.fpv:
-        # First-person second camera (mobile_robot_env.py:315-332) lands with
-        # the general ray-traced renderer; stack a placeholder duplicate so
-        # the 6-channel contract holds.
-        out = jnp.concatenate([out, out], axis=-1)
+        # First-person second camera (mobile_robot_env.py:315-332).
+        out = jnp.concatenate([out, render_mobile_robot_fpv(env, state)], axis=-1)
     return out
+
+
+@lru_cache(maxsize=4)
+def _fpv_rays(height: int, width: int):
+    """(forward, dirs) for the first-person camera. The FPV camera follows
+    the robot, so only the (static) ray directions are precomputed; the eye
+    is derived from the robot position inside the kernel. Parameters from
+    mobile_robot_env.py:317-327: yaw 90 (the env's _cam_yaw), pitch -17,
+    roll 0, fov 90, distance 0.3 behind the target point."""
+    from srl_tpu.ops.camera import camera_basis, pixel_rays
+
+    forward, _, _ = camera_basis(90.0, -17.0, 0.0)
+    _, dirs = pixel_rays((0.0, 0.0, 0.0), 0.3, 90.0, -17.0, 0.0, 90.0, width, height)
+    return forward.astype(np.float32), dirs
+
+
+def render_mobile_robot_fpv(env, state) -> jax.Array:
+    """uint8 [H, W, 3] first-person view from the robot (fpv=True mode).
+
+    Ray-traced with the 3D primitive kernels: checkerboard ground plane,
+    wall boxes, target cylinders/band and the robot chassis, shaded flat.
+    """
+    from srl_tpu.envs.mobile_robot import RENDER_HEIGHT, RENDER_WIDTH
+    from srl_tpu.ops import renderer3d as r3
+
+    fwd_np, dirs_np = _fpv_rays(RENDER_HEIGHT, RENDER_WIDTH)
+    dirs = jnp.asarray(dirs_np)
+    rp = state.robot_pos
+    # cameraTargetPosition=(x-0.25, y, 0.15), distance 0.3
+    # (mobile_robot_env.py:318-321); eye = target - distance * forward.
+    target = jnp.stack([rp[0] - 0.25, rp[1], jnp.float32(0.15)])
+    eye = target - 0.3 * jnp.asarray(fwd_np)
+
+    prims = []  # (t, normal, color [3] or [H, W, 3])
+
+    # Checkerboard ground plane at z=0 (color varies per hit point).
+    t_g, n_g = r3._hit_plane(eye, dirs, 0.0)
+    gx = eye[0] + t_g * dirs[..., 0]
+    gy = eye[1] + t_g * dirs[..., 1]
+    checker = ((jnp.floor(gx / 0.5) + jnp.floor(gy / 0.5)) % 2)[..., None]
+    ground_col = checker * jnp.asarray(GROUND_DARK) + (1 - checker) * jnp.asarray(
+        GROUND_LIGHT
+    )
+    prims.append((t_g, n_g, ground_col))
+
+    # Walls: 4 x 0.1 x 0.1 boxes at the plate edges (wall.urdf,
+    # mobile_robot_env.py:189-204; 1D keeps only the left wall).
+    wall_h = jnp.asarray([2.0, WALL_HALF_W, WALL_HALF_W], jnp.float32)
+    wall_v = jnp.asarray([WALL_HALF_W, 2.0, WALL_HALF_W], jnp.float32)
+    walls = [((2.0, 0.0), wall_h, WALL_COLORS["left"])]
+    if env.dim == 2:
+        walls += [
+            ((4.0, 2.0), wall_v, WALL_COLORS["bottom"]),
+            ((2.0, 4.0), wall_h, WALL_COLORS["right"]),
+            ((0.0, 2.0), wall_v, WALL_COLORS["top"]),
+        ]
+    for (cx, cy), half, col in walls:
+        center = jnp.asarray([cx, cy, WALL_HALF_W], jnp.float32)
+        prims.append(r3._hit_aabb(eye, dirs, center, half) + (jnp.asarray(col),))
+
+    # Targets.
+    if env.line_target:
+        tx = state.targets[0, 0]
+        center = jnp.stack([tx, jnp.float32(2.0), jnp.float32(0.25)])
+        half = jnp.asarray([LINE_TARGET_HALF_W, 2.0, 0.25], jnp.float32)
+        prims.append(r3._hit_aabb(eye, dirs, center, half) + (jnp.asarray(TARGET_YELLOW),))
+    else:
+        for i in range(env.n_targets):
+            col = TARGET_YELLOW if i == 0 else TARGET_RED
+            prims.append(
+                r3._hit_vcylinder(
+                    eye, dirs, state.targets[i], TARGET_RADIUS, 0.0, 0.1
+                )
+                + (jnp.asarray(col),)
+            )
+
+    # Robot chassis (the camera sits above/behind it, so its hood shows at
+    # the frame bottom like the reference's racecar render).
+    center = jnp.stack([rp[0], rp[1], jnp.float32(0.05)])
+    half = jnp.asarray([ROBOT_HALF_L, ROBOT_HALF_W, 0.05], jnp.float32)
+    prims.append(r3._hit_aabb(eye, dirs, center, half) + (jnp.asarray(ROBOT_BODY),))
+
+    # Min-depth composite with flat Lambertian shading (renderer3d._shade,
+    # inlined here because the ground color is per-pixel).
+    light = jnp.asarray(r3.LIGHT_DIR)
+    t_best = jnp.full(dirs.shape[:-1], r3.BIG, jnp.float32)
+    img = jnp.broadcast_to(jnp.asarray(r3.SKY_COLOR)[None, None], dirs.shape)
+    for t, normal, color in prims:
+        lam = jnp.clip(jnp.einsum("...i,i->...", normal, light), 0.0, 1.0)
+        shaded = (0.45 + 0.55 * lam)[..., None] * jnp.broadcast_to(color, dirs.shape)
+        closer = t < t_best
+        img = jnp.where(closer[..., None], shaded, img)
+        t_best = jnp.minimum(t, t_best)
+
+    return jnp.clip(img * 255.0 + 0.5, 0, 255).astype(jnp.uint8)

@@ -85,3 +85,24 @@ def test_vectorized_pixel_rollout():
     step = jax.jit(vec.step)
     vstate, tr = step(vstate, jnp.zeros(4, jnp.int32))
     assert tr.obs.shape == (4, 224, 224, 3) and tr.obs.dtype == jnp.uint8
+
+
+@pytest.mark.fast
+def test_fpv_second_camera():
+    """fpv=True stacks a genuine first-person render (6 channels), not a
+    duplicate of the top-down view (mobile_robot_env.py:315-332)."""
+    env = MobileRobotEnv(srl_model="raw_pixels", fpv=True)
+    state = env.reset(jax.random.PRNGKey(3))
+    img = np.asarray(env.observe(state))
+    assert img.shape == (224, 224, 6)
+    top, fpv = img[..., :3], img[..., 3:]
+    assert not np.array_equal(top, fpv)
+    # Perspective view: sky at the top of the frame, ground at the bottom.
+    sky = np.array([179, 199, 230])
+    assert (np.abs(fpv[0, :, :].astype(int) - sky).max(axis=-1) < 60).mean() > 0.9
+    # The view tracks the robot: moving the robot changes the image.
+    import jax.numpy as jnp
+
+    s2 = state.replace(robot_pos=state.robot_pos + jnp.asarray([0.5, 0.5]))
+    fpv2 = np.asarray(env.observe(s2))[..., 3:]
+    assert (fpv2 != fpv).any()
