@@ -157,16 +157,28 @@ class VecEnv:
 
         # Auto-reset the finished envs with fresh keys; masked-select the
         # whole state pytree (the scan-safe replacement for the reference's
-        # per-process VecEnv reset).
+        # per-process VecEnv reset). The reset pass is gated behind a
+        # batch-level lax.cond so steps where NO episode finished (the common
+        # case — episodes run 250-1500 steps) skip the reset computation
+        # entirely; env reset can be as expensive as several steps (Kuka does
+        # 5 IK control steps), so paying it only when needed is a large
+        # steady-state win. Key consumption is unconditional, so trajectories
+        # are bit-identical to the always-reset formulation.
         key, sub = jax.random.split(vstate.key)
         reset_keys = jax.random.split(sub, self.num_envs)
-        fresh_state = jax.vmap(self.env.reset)(reset_keys)
-        env_state = jax.tree.map(
-            lambda fresh, cur: jnp.where(
-                done.reshape(done.shape + (1,) * (cur.ndim - 1)), fresh, cur
-            ),
-            fresh_state,
-            env_state,
+
+        def _with_reset(cur):
+            fresh_state = jax.vmap(self.env.reset)(reset_keys)
+            return jax.tree.map(
+                lambda fresh, c: jnp.where(
+                    done.reshape(done.shape + (1,) * (c.ndim - 1)), fresh, c
+                ),
+                fresh_state,
+                cur,
+            )
+
+        env_state = jax.lax.cond(
+            jnp.any(done), _with_reset, lambda cur: cur, env_state
         )
 
         obs = jax.vmap(self.env.observe)(env_state)
