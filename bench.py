@@ -87,13 +87,25 @@ def main():
     except ImportError:
         pass
 
-    # Informational: the rendered-observation path (224x224x3 per step).
+    # Rendered-observation paths (224x224x3 per step) — the reference's
+    # 250 FPS baseline IS this configuration on Kuka/MobileRobot
+    # (README.md:9).
     try:
         steps, dt = bench_env(
             MobileRobotEnv(srl_model="raw_pixels"), num_envs=256, n_steps=32,
             n_iters=3,
         )
         parts["mobile_robot_raw_pixels"] = steps / dt
+    except Exception:
+        pass
+    try:
+        from srl_tpu.envs.kuka import KukaButtonEnv
+
+        steps, dt = bench_env(
+            KukaButtonEnv(srl_model="raw_pixels"), num_envs=256, n_steps=32,
+            n_iters=3,
+        )
+        parts["kuka_button_raw_pixels"] = steps / dt
     except Exception:
         pass
 

@@ -58,8 +58,19 @@ NOISE_STD = 0.01
 NOISE_STD_CONTINUOUS = 0.0001
 NOISE_STD_JOINTS = 0.002
 N_RANDOM_ACTIONS_AT_INIT = 5
-BUTTON_DISTANCE_HEIGHT = 0.28
-BUTTON_RADIUS = 0.1  # simple_button.urdf cylinder footprint
+BUTTON_DISTANCE_HEIGHT = 0.28  # virtual distance target above the cap link
+# Physical button geometry, from urdf/simple_button.urdf joint origins plus
+# the meshes/*.dae vertex bounds: base plate r=0.10 h=0.005; base cylinder
+# r=0.10 h=0.025 stacked at +0.005; cap r=0.09 h=0.030 on a prismatic glider
+# (travel 0.01) that the motor holds raised (step2 applies
+# targetPosition=0.1 every step, kuka_button_gym_env.py:346-347). The whole
+# button is only 4.5 cm tall — the arm has to descend ~0.37 m from its rest
+# pose and land the finger tips on the cap without touching the table.
+BUTTON_BASE_RADIUS = 0.10
+BUTTON_BASE_TOP = Z_TABLE + 0.030
+BUTTON_CAP_RADIUS = 0.09
+BUTTON_CAP_TOP = Z_TABLE + 0.045
+BUTTON_CAP_PRESSED = BUTTON_CAP_TOP - 0.01  # fully pressed glider
 CONTACT_EPS = 0.01
 # Moving-button variant (kuka_moving_button_gym_env.py:3-7).
 BUTTON_SPEED = 0.001
@@ -80,6 +91,8 @@ GRIPPER_JOINTS = np.array(
 class KukaState:
     key: jax.Array
     q: jax.Array  # [7] arm joint angles
+    tip: jax.Array  # [3] finger-tip position (cached FK, post contact block)
+    gripper: jax.Array  # [3] gripper-link position (getArmPos anchor)
     ee_target: jax.Array  # [3] integrated clipped effector target
     effector_angle: jax.Array  # accumulated da (kuka.py:140)
     buttons: jax.Array  # [n_buttons, 3] button TOP positions
@@ -120,7 +133,9 @@ class KukaButtonEnv(TpuEnv):
         state_dim: int = -1,
         max_steps: int = None,
         noise_std: float = NOISE_STD,
+        null_space: bool = False,
     ):
+        self.null_space = null_space
         self.n_buttons = n_buttons
         self.moving_button = moving_button
         self.rand_objects = rand_objects
@@ -245,11 +260,14 @@ class KukaButtonEnv(TpuEnv):
             ee_target = jnp.clip(
                 ee_target + delta, jnp.asarray(self._ws_lo), jnp.asarray(self._ws_hi)
             )
-            q = kin.control_step(q, ee_target)
+            q = kin.control_step(q, ee_target, null_space=self.null_space)
 
+        _, gripper, tip = kin.fk_points(q)
         return KukaState(
             key=key,
             q=q.astype(jnp.float32),
+            tip=tip.astype(jnp.float32),
+            gripper=gripper.astype(jnp.float32),
             ee_target=ee_target.astype(jnp.float32),
             effector_angle=jnp.float32(0.0),
             buttons=buttons.astype(jnp.float32),
@@ -298,14 +316,34 @@ class KukaButtonEnv(TpuEnv):
             )
             buttons = buttons.at[0, 1].add(button_speed)
 
-        # Arm control.
+        # Arm control with penetration blocking: the PyBullet arm physically
+        # rests on whatever it touches (table / button base / button cap) —
+        # emulate the contact solver by rolling a sub-step back when the
+        # finger tip would sink below the supporting surface (the same
+        # position-rollback model the reference MobileRobot uses for walls,
+        # mobile_robot_env.py:235-267).
+        def blocked(q_old, tip_old, grip_old, q_new):
+            _, grip_new, tip_new = kin.fk_points(q_new)
+            xy = jnp.linalg.norm(buttons[:, :2] - tip_new[None, :2], axis=1)
+            floor = jnp.where(
+                jnp.any(xy <= BUTTON_CAP_RADIUS),
+                BUTTON_CAP_PRESSED,
+                jnp.where(jnp.any(xy <= BUTTON_BASE_RADIUS), BUTTON_BASE_TOP, Z_TABLE),
+            )
+            penet = tip_new[2] < floor
+            return (
+                jnp.where(penet, q_old, q_new),
+                jnp.where(penet, tip_old, tip_new),
+                jnp.where(penet, grip_old, grip_new),
+            )
+
+        q, tip, gripper = state.q, state.tip, state.gripper
         if self.action_joints:
             d_theta = DELTA_THETA + jax.random.normal(k_noise, ()) * NOISE_STD_JOINTS
             q_target = jnp.asarray(action, jnp.float32) * d_theta + state.q
             ee_target = state.ee_target
-            q = state.q
             for _ in range(self.action_repeat):
-                q = kin.servo_step(q, q_target)
+                q, tip, gripper = blocked(q, tip, gripper, kin.servo_step(q, q_target))
         else:
             delta = self._action_to_delta(k_noise, action)
             ee_target = jnp.clip(
@@ -313,12 +351,13 @@ class KukaButtonEnv(TpuEnv):
                 jnp.asarray(self._ws_lo),
                 jnp.asarray(self._ws_hi),
             )
-            q = state.q
             for _ in range(self.action_repeat):
-                q = kin.control_step(q, ee_target)
+                q, tip, gripper = blocked(
+                    q, tip, gripper,
+                    kin.control_step(q, ee_target, null_space=self.null_space),
+                )
 
         step_count = state.step_count + self.action_repeat
-        tip = kin.fk(q)[4]
 
         # Ball kick at step 10 (kuka_rand_button_gym_env.py:117-127) +
         # constant-velocity roll; rendering-only.
@@ -334,18 +373,23 @@ class KukaButtonEnv(TpuEnv):
 
         # ---- contacts & reward (kuka_button_gym_env.py:428-463 /
         #      kuka_2button_gym_env.py:151-198) ----
+        # Reference contact = p.getContactPoints against the button CAP link
+        # only (BUTTON_LINK_IDX, kuka_button_gym_env.py:433): finger tip on
+        # (or into, from the side) the 9 cm-radius cap. The distance penalty
+        # is measured from the gripper link to the virtual target 0.28 above
+        # the cap link (:273-274,429-430).
         goal_id = state.goal_id
         goal_button = buttons[goal_id]
-        distance = jnp.linalg.norm(goal_button - tip)
+        distance = jnp.linalg.norm(goal_button - gripper)
 
         xy_dist_all = jnp.linalg.norm(buttons[:, :2] - tip[None, :2], axis=1)
-        over_any_button = jnp.any(xy_dist_all <= BUTTON_RADIUS)
-        contact_all = (xy_dist_all <= BUTTON_RADIUS) & (
-            tip[2] <= buttons[:, 2] + CONTACT_EPS
+        contact_all = (xy_dist_all <= BUTTON_CAP_RADIUS) & (
+            tip[2] <= BUTTON_CAP_TOP + CONTACT_EPS
         )
         goal_contact = contact_all[goal_id]
-        # Table contact: tip at table height and not resting on a button.
-        table_contact = (tip[2] <= Z_TABLE + CONTACT_EPS) & ~over_any_button
+        # Table contact: the blocked tip can only get this low over bare
+        # table (the button base/cap floors sit higher).
+        table_contact = tip[2] <= Z_TABLE + CONTACT_EPS
 
         n_contacts = state.n_contacts.at[goal_id].add(goal_contact.astype(jnp.int32))
 
@@ -409,6 +453,8 @@ class KukaButtonEnv(TpuEnv):
         new_state = state.replace(
             key=key,
             q=q,
+            tip=tip,
+            gripper=gripper,
             ee_target=ee_target,
             buttons=buttons,
             button_speed=button_speed,
@@ -423,8 +469,8 @@ class KukaButtonEnv(TpuEnv):
 
     # ------------------------------------------------------------------
     def ground_truth(self, state: KukaState) -> jax.Array:
-        """Gripper position (getArmPos, kuka_button_gym_env.py:205-212)."""
-        return kin.fk(state.q)[4]
+        """Gripper-link position (getArmPos, kuka_button_gym_env.py:205-212)."""
+        return state.gripper
 
     def target_pos(self, state: KukaState) -> jax.Array:
         return state.buttons[state.goal_id]
@@ -463,6 +509,9 @@ class Kuka2ButtonEnv(KukaButtonEnv):
         kwargs.setdefault("n_buttons", 2)
         kwargs.setdefault("max_distance", 2.0)
         kwargs.setdefault("force_down", False)
+        # Reference enables null-space IK for this variant
+        # (kuka_2button_gym_env.py:79).
+        kwargs.setdefault("null_space", True)
         super().__init__(**kwargs)
 
 

@@ -251,6 +251,25 @@ def make_callback(log_dir: str, args, monitor: MonitorWriter, algo,
                 f"mean reward {entry['mean_reward'] if entry['mean_reward'] is not None else float('nan'):.2f}  "
                 f"{entry['fps']:.0f} steps/s"
             )
+            # Live learning curves: the reference refreshes its three visdom
+            # windows every LOG_INTERVAL during training (train.py:162-167,
+            # visualize.py:146-215); here the PNG + a tiny time throttle so
+            # fast loops aren't dominated by matplotlib.
+            if not getattr(args, "no_vis", False) and ep_returns:
+                now = time.time()
+                if now - state.get("last_plot", 0.0) > 2.0:
+                    state["last_plot"] = now
+                    monitor.flush()
+                    try:
+                        from srl_tpu.experiments.visualize import plot_log_dir
+
+                        plot_log_dir(
+                            log_dir,
+                            title=f"{args.env} ({args.srl_model}, {args.algo})",
+                            episode_window=args.episode_window,
+                        )
+                    except Exception:  # plotting must never kill training
+                        pass
 
     return callback
 

@@ -60,6 +60,7 @@ def train_srl_model(
         n_actions=n_actions,
         learning_rate=learning_rate,
         seed=seed,
+        split_dimensions=entry.get("splits") or None,
     )
     if srl_model == "random":
         # Random frozen encoder: init only, no training.

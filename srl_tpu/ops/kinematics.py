@@ -50,6 +50,13 @@ BASE_POS = np.array([-0.1, 0.0, -0.15], dtype=np.float32)
 # Gripper: tip extends along the flange +z (pointing down when oriented);
 # ~0.28 m of gripper2 body + fingers below the joint-7 flange.
 TIP_OFFSET = 0.28
+# Gripper link frame (kuka_gripper_index=8, kuka.py:32) used by the
+# reference's getArmPos/getGroundTruth (kuka_button_gym_env.py:205-212):
+# sits just below the flange, ~0.25 above the finger tips.  Calibrated so
+# that when the finger tips press the button cap the gripper-to-target
+# distance is ~0 (button_pos is the cap link + 0.28,
+# kuka_button_gym_env.py:273-274).
+GRIPPER_OFFSET = 0.03
 # Joint servo (kuka.py:165-170 with timestep 1/240).
 MAX_VELOCITY = 0.35
 POSITION_GAIN = 0.3
@@ -100,6 +107,59 @@ def tip_position(q: jax.Array) -> jax.Array:
     return fk(q)[4]
 
 
+def gripper_position(q: jax.Array) -> jax.Array:
+    """Position of the gripper link (getArmPos, kuka_button_gym_env.py:205-212)."""
+    _, _, R, p_flange, _ = fk(q)
+    return p_flange + R @ jnp.array([0.0, 0.0, GRIPPER_OFFSET], jnp.float32)
+
+
+def fk_points(q: jax.Array):
+    """(p_flange, p_gripper, p_tip) from one FK pass."""
+    _, _, R, p_flange, p_tip = fk(q)
+    p_grip = p_flange + R @ jnp.array([0.0, 0.0, GRIPPER_OFFSET], jnp.float32)
+    return p_flange, p_grip, p_tip
+
+
+# ---------------------------------------------------------------------------
+# Closed-form IK for the fixed down-pointing orientation.
+#
+# The button envs always request orientation Ry(-pi) (kuka.py:144) and never
+# rotate the effector (da == 0), so the 7-DOF redundancy collapses: q3=q5=0
+# puts the arm in the vertical plane through the base yaw, the elbow solves a
+# planar 2R problem (upper arm 0.42, forearm 0.40), the wrist pitch closes
+# the orientation constraint q2 - q4 + q6 = pi, and q7 = -q1 cancels the base
+# yaw. One trig evaluation replaces the iterated fk+Jacobian+solve chain of
+# dls_ik — ~10x fewer flops on the Kuka hot path.
+# ---------------------------------------------------------------------------
+_SHOULDER = BASE_POS + np.array([0.0, 0.0, 0.36], np.float32)  # joints 1-3
+_UPPER_ARM = 0.42  # shoulder -> elbow (offsets 3+4)
+_FOREARM = 0.40  # elbow -> wrist (offsets 5+6)
+_FLANGE_D = 0.081  # wrist -> flange along the (down-pointing) final link
+
+
+def ik_down(target_pos: jax.Array) -> jax.Array:
+    """Joint angles reaching ``target_pos`` with the flange pointing straight
+    down (R = Ry(-pi)), on the branch matching the reference rest pose
+    (elbow bent forward, kuka.py:65-66). Out-of-reach targets are clamped to
+    the workspace sphere."""
+    w = target_pos + jnp.array([0.0, 0.0, _FLANGE_D], jnp.float32) - jnp.asarray(_SHOULDER)
+    r = jnp.sqrt(w[0] * w[0] + w[1] * w[1] + 1e-12)
+    z = w[2]
+    q1 = jnp.arctan2(w[1], w[0])
+    l2 = r * r + z * z
+    a, b = _UPPER_ARM, _FOREARM
+    c4 = jnp.clip((l2 - a * a - b * b) / (2.0 * a * b), -1.0, 1.0)
+    elbow = jnp.arccos(c4)
+    l = jnp.sqrt(l2)
+    alpha = jnp.arccos(jnp.clip((l2 + a * a - b * b) / (2.0 * a * l), -1.0, 1.0))
+    phi = jnp.arctan2(r, z)  # angle of shoulder->wrist from vertical
+    q2 = phi - alpha
+    q4 = -elbow
+    q6 = jnp.pi - q2 + q4
+    zero = jnp.zeros_like(q1)
+    return jnp.stack([q1, q2, zero, q4, zero, q6, -q1]).astype(jnp.float32)
+
+
 def _orientation_error(R: jax.Array, R_d: jax.Array) -> jax.Array:
     """Classic 0.5 * sum of column cross products."""
     e = 0.5 * (
@@ -117,9 +177,14 @@ def spd_solve(A: jax.Array, b: jax.Array) -> jax.Array:
     matrices is the TPU hot-spot of the IK step (it loops on the scalar
     unit); unrolling the 6x6 factorization into scalar graph ops lets the
     whole thing vectorize over the vmapped env batch on the VPU — measured
-    ~4x end-to-end on ``control_step`` at batch 4096, bit-exact with
-    ``jax.scipy.linalg.solve(assume_a="pos")``.
+    ~4x end-to-end on ``control_step`` at batch 4096, numerically equivalent
+    to ``jax.scipy.linalg.solve(assume_a="pos")`` up to float32 round-off
+    (~4e-5 relative: reciprocal-multiply vs divide, different reduction
+    order).
+
+    Unbatched only (rely on vmap for batching, as the IK callsites do).
     """
+    assert A.ndim == 2 and b.ndim == 1, "spd_solve is unbatched; use vmap"
     n = A.shape[-1]
     L = [[None] * n for _ in range(n)]
     inv_d = [None] * n
@@ -149,15 +214,38 @@ def spd_solve(A: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.stack(x)
 
 
+# Null-space IK parameters from the reference arm (kuka.py:33-41): joint
+# limits and rest poses used when use_null_space is on (enabled by
+# Kuka2Button, kuka_2button_gym_env.py:79). The reference values come from
+# PyBullet's kuka example and use that model's joint-4 sign convention —
+# they contradict the reference's OWN rest pose (joint_positions[3] =
+# -1.289 vs ll[3] = +0.19, kuka.py:34,65), which PyBullet tolerates because
+# its null-space solve treats them softly. Our joint-4 axis matches the SDF
+# rest pose, so we map limits/rest by flipping joint 4 (and bias joint 6
+# toward the down-orientation working posture).
+NULL_LL = np.array([-0.967, -2.0, -2.96, -2.29, -2.96, -2.09, -3.05], np.float32)
+NULL_UL = np.array([0.967, 2.0, 2.96, -0.19, 2.96, 2.09, 3.05], np.float32)
+NULL_RP = np.array(
+    [0.0, 0.0, 0.0, -0.5 * np.pi, 0.0, np.pi * 0.5 * 0.66, 0.0], np.float32
+)
+
+
 def dls_ik(
     q: jax.Array,
     target_pos: jax.Array,
     n_iters: int = 3,
     damping: float = 0.1,
+    null_space: bool = False,
+    null_gain: float = 0.1,
 ) -> jax.Array:
     """Damped-least-squares IK toward (target_pos, down orientation), warm
     started from q — the reference calls PyBullet IK once per control step
-    from the current configuration (kuka.py:153-156)."""
+    from the current configuration (kuka.py:153-156).
+
+    With ``null_space=True``, a secondary objective pulls the redundant DOF
+    toward the reference rest poses through the Jacobian null-space projector
+    and the result is clipped to the reference joint limits, matching
+    PyBullet's null-space IK mode (kuka.py:34-43,145-152)."""
     R_d = jnp.asarray(R_DOWN)
     lam2 = damping * damping
 
@@ -174,7 +262,15 @@ def dls_ik(
 
         JJt = J @ J.T + lam2 * jnp.eye(6, dtype=jnp.float32)
         dq = J.T @ spd_solve(JJt, e)
+        if null_space:
+            # dq_null = (I - J+ J) k (rest - q): move toward the rest pose
+            # without disturbing the task-space error.
+            JpJ = J.T @ jax.vmap(lambda col: spd_solve(JJt, col), in_axes=1, out_axes=1)(J)
+            dq_rest = null_gain * (jnp.asarray(NULL_RP) - q)
+            dq = dq + dq_rest - JpJ @ dq_rest
         q = q + dq
+        if null_space:
+            q = jnp.clip(q, jnp.asarray(NULL_LL), jnp.asarray(NULL_UL))
     return q
 
 
@@ -186,9 +282,39 @@ def servo_step(q: jax.Array, q_target: jax.Array) -> jax.Array:
     return q + dq
 
 
-def control_step(q: jax.Array, ee_target: jax.Array) -> jax.Array:
-    """IK + servo: one full applyAction+stepSimulation of the reference."""
-    q_ik = dls_ik(q, ee_target)
+def ik_down_limited(target_pos: jax.Array) -> jax.Array:
+    """Null-space-mode IK: the closed-form down solution clamped to the
+    reference joint limits. PyBullet's null-space IK observable behavior in
+    the 2-button env is exactly this — the flange reaches the target with
+    down orientation while joints stay inside ll/ul (kuka.py:145-152); the
+    closed-form branch (elbow negative in our convention) is the one inside
+    the mapped limits."""
+    return jnp.clip(ik_down(target_pos), jnp.asarray(NULL_LL), jnp.asarray(NULL_UL))
+
+
+# Task-space tracking step: PyBullet re-solves IK from the current
+# configuration every physics step (kuka.py:153-156), so the arm follows a
+# quasi-straight task-space path toward the target instead of interpolating
+# in joint space (which bows the tip ~10 cm sideways on a long descent).
+# 2 mm/step matches the effective tip speed the per-joint velocity cap
+# allows (maxVelocity=0.35 rad/s at 240 Hz over ~0.7 m levers); larger steps
+# make the servo caps bind, which re-introduces the joint-interpolation bow.
+TASK_STEP = 0.002
+
+
+def control_step(q: jax.Array, ee_target: jax.Array, null_space: bool = False) -> jax.Array:
+    """IK + servo: one full applyAction+stepSimulation of the reference.
+
+    The commanded configuration is the closed-form down-orientation IK of an
+    intermediate target TASK_STEP ahead of the *current* flange position, so
+    the tip tracks the straight task-space path like PyBullet's
+    incrementally re-solved IK; the velocity-capped servo preserves the
+    reference arm's position-control lag."""
+    p_cur = fk(q)[3]
+    delta = ee_target - p_cur
+    dist = jnp.linalg.norm(delta) + 1e-9
+    t_int = p_cur + delta * (jnp.minimum(dist, TASK_STEP) / dist)
+    q_ik = ik_down_limited(t_int) if null_space else ik_down(t_int)
     return servo_step(q, q_ik)
 
 

@@ -24,7 +24,8 @@ BIG = 1e9
 FLOOR_COLOR = np.array([0.85, 0.85, 0.85], np.float32)
 TABLE_COLOR = np.array([0.55, 0.38, 0.22], np.float32)
 BUTTON_GREEN = np.array([0.0, 0.85, 0.0], np.float32)
-BUTTON_RED = np.array([0.85, 0.0, 0.0], np.float32)
+BUTTON_CAP_YELLOW = np.array([0.9, 0.9, 0.0], np.float32)  # simple_button.urdf
+BUTTON_CAP_TEAL = np.array([0.2, 0.6, 0.38], np.float32)  # simple_button_2.urdf
 ARM_ORANGE = np.array([0.95, 0.55, 0.05], np.float32)
 ARM_SILVER = np.array([0.75, 0.75, 0.78], np.float32)
 BALL_COLOR = np.array([0.9, 0.9, 0.9], np.float32)
@@ -38,7 +39,6 @@ LIGHT_DIR /= np.linalg.norm(LIGHT_DIR)
 FLOOR_Z = -1.0
 TABLE_CENTER = np.array([0.5, 0.0, -0.51], np.float32)
 TABLE_HALF = np.array([0.75, 0.5, 0.31], np.float32)
-BUTTON_RADIUS_VIS = 0.1
 ARM_LINK_RADIUS = 0.055
 
 
@@ -195,15 +195,28 @@ def _render_kuka_view(env, state, which: str) -> jax.Array:
         + (TABLE_COLOR,)
     )
 
-    # Buttons: capped cylinders from the table to the button top.
+    # Buttons: real simple_button.urdf geometry — green base cylinder
+    # (r=0.10, 3 cm incl. base plate) topped by the pressable cap (r=0.09,
+    # raised to 4.5 cm). Cap colors: yellow (simple_button.urdf) / greenish
+    # (simple_button_2.urdf).
+    from srl_tpu.envs.kuka import (
+        BUTTON_BASE_RADIUS,
+        BUTTON_BASE_TOP,
+        BUTTON_CAP_RADIUS,
+        BUTTON_CAP_TOP,
+    )
+
+    cap_colors = [BUTTON_CAP_YELLOW, BUTTON_CAP_TEAL]
     for i in range(env.n_buttons):
-        color = BUTTON_GREEN if i == 0 else BUTTON_RED
-        top = state.buttons[i]
+        xy = state.buttons[i, :2]
         prims.append(
-            _hit_vcylinder(
-                eye, dirs, top[:2], BUTTON_RADIUS_VIS, Z_TABLE, top[2] - 0.02
-            )
-            + (color,)
+            _hit_vcylinder(eye, dirs, xy, BUTTON_BASE_RADIUS, Z_TABLE, BUTTON_BASE_TOP)
+            + (BUTTON_GREEN,)
+        )
+        prims.append(
+            _hit_vcylinder(eye, dirs, xy, BUTTON_CAP_RADIUS, BUTTON_BASE_TOP,
+                           BUTTON_CAP_TOP)
+            + (cap_colors[min(i, 1)],)
         )
 
     # Arm: capsules along the kinematic chain + gripper segment.

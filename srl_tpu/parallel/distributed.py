@@ -44,15 +44,22 @@ def initialize(
     )
     num_processes = num_processes or _int_env("JAX_NUM_PROCESSES")
     process_id = process_id if process_id is not None else _int_env("JAX_PROCESS_ID")
-    if jax.process_count() > 1:
-        return True  # already initialized
     if coordinator_address is None and num_processes in (None, 1):
-        return False
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+        # No multi-process runtime requested; safe to touch the backend now.
+        return jax.process_count() > 1
+    # NOTE: must not call jax.process_count()/jax.devices() before
+    # jax.distributed.initialize — they would initialize the XLA backend
+    # single-process and initialize() would then raise.
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return True
+        raise
     return True
 
 

@@ -41,6 +41,11 @@ class SRLBaseModel:
     def getStates(self, observations):
         return self.getState(observations)
 
+    def encode_single(self, obs):
+        """Unbatched, trace-safe encode of one observation — the hook
+        SRLEncodedEnv.observe dispatches through under vmap."""
+        raise NotImplementedError
+
 
 class SRLNeuralNetwork(SRLBaseModel):
     """A trained SRLModules encoder (state_representation/models.py:141-193
@@ -53,6 +58,12 @@ class SRLNeuralNetwork(SRLBaseModel):
         self.image_obs = cfg.get("model-type", "custom_cnn") != "mlp"
         obs_shape = tuple(cfg.get("obs-shape", (224, 224, 3)))
         self.obs_shape = obs_shape
+        # Split-dimension bookkeeping (state_representation/models.py:68-73):
+        # a loss -> slice-width map; zero total width means combination mode.
+        split = cfg.get("split-dimensions") or {}
+        if sum(split.values()) == 0:
+            split = {}
+        self.split_dimensions = split
         self.model = SRLModules(
             state_dim=self.state_dim,
             losses=tuple(self.losses),
@@ -60,6 +71,7 @@ class SRLNeuralNetwork(SRLBaseModel):
             obs_hw=obs_shape[:2] if self.image_obs else (0, 0),
             channels=obs_shape[2] if self.image_obs else 0,
             n_actions=cfg.get("n_actions", 4),
+            split_dimensions=tuple(split.items()),
         )
         self.params = jax.tree.map(jnp.asarray, payload["params"])
         self._encode = jax.jit(
@@ -75,6 +87,10 @@ class SRLNeuralNetwork(SRLBaseModel):
             obs = obs[..., : self.obs_shape[-1]]
         out = self._encode(obs)
         return out[0] if squeeze else out
+
+    def encode_single(self, obs):
+        enc = self.model.apply(self.params, obs[None], method=SRLModules.encode)
+        return enc[0]
 
 
 class SRLPCA(SRLBaseModel):
@@ -93,6 +109,10 @@ class SRLPCA(SRLBaseModel):
         flat = obs.reshape(obs.shape[0], -1) / 255.0
         out = (flat - self.mean) @ self.components
         return out[0] if squeeze else out
+
+    def encode_single(self, obs):
+        flat = jnp.asarray(obs, jnp.float32).reshape(-1) / 255.0
+        return (flat - self.mean) @ self.components
 
 
 def loadSRLModel(
@@ -133,11 +153,5 @@ class SRLEncodedEnv:
 
     def observe(self, state):
         pixels = self._env.render_pixels(state)
-        # Apply unbatched (vmap adds the batch axis): fake batch of 1.
-        model = self._srl
-        obs = jnp.asarray(pixels)
-        if "components" in dir(model) and hasattr(model, "mean"):
-            flat = obs.astype(jnp.float32).reshape(-1) / 255.0
-            return (flat - model.mean) @ model.components
-        enc = model.model.apply(model.params, obs[None], method=SRLModules.encode)
-        return enc[0]
+        # Polymorphic dispatch; vmap over envs batches the encoder call.
+        return self._srl.encode_single(jnp.asarray(pixels))

@@ -21,6 +21,38 @@ from flax import linen as nn
 ORTHO = nn.initializers.orthogonal(float(np.sqrt(2)))
 
 
+def split_ranges(losses, state_dim, split_dimensions):
+    """Resolve per-loss (start, end) state-vector slices.
+
+    SRLModulesSplit semantics (srl_zoo, resolved through exp_config.json's
+    'split-dimensions' by state_representation/models.py:60-92): each loss
+    owns a contiguous slice of the state vector, allocated in loss order; a
+    dimension of -1 takes all remaining dims. With ``split_dimensions=None``
+    every loss sees the full vector (SRLModules combination mode).
+    """
+    if not split_dimensions:
+        return {loss: (0, state_dim) for loss in losses}
+    split = dict(split_dimensions)
+    explicit = sum(d for d in split.values() if d > 0)
+    rest = state_dim - explicit
+    n_rest = sum(1 for d in split.values() if d < 0)
+    assert rest >= 0, f"split dims {split} exceed state_dim {state_dim}"
+    assert n_rest <= 1, "at most one loss may take the remaining dims (-1)"
+    ranges, start = {}, 0
+    for loss in losses:
+        d = split.get(loss, 0)
+        if d < 0:
+            d = rest
+        if d == 0:
+            # Loss without a dedicated slice: sees the full vector.
+            ranges[loss] = (0, state_dim)
+            continue
+        ranges[loss] = (start, start + d)
+        start += d
+    assert start <= state_dim, (ranges, state_dim)
+    return ranges
+
+
 class SRLConvEncoder(nn.Module):
     """CustomCNN-equivalent encoder: pixels -> state vector."""
 
@@ -119,7 +151,14 @@ class RewardHead(nn.Module):
 
 
 class SRLModules(nn.Module):
-    """Encoder + the heads required by the configured loss set."""
+    """Encoder + the heads required by the configured loss set.
+
+    With ``split_dimensions`` set (an ordered (loss, dim) tuple), each head
+    reads/writes only its slice of the state vector — the SRLModulesSplit
+    semantics the reference resolves from exp_config.json
+    (state_representation/models.py:60-92). The encoder always produces the
+    full state vector; ``encode`` is the representation served to RL.
+    """
 
     state_dim: int
     losses: Tuple[str, ...]
@@ -127,22 +166,36 @@ class SRLModules(nn.Module):
     obs_hw: Tuple[int, int] = (224, 224)
     channels: int = 3
     n_actions: int = 4
+    split_dimensions: Tuple[Tuple[str, int], ...] = ()
 
     def setup(self):
+        self.ranges = split_ranges(
+            self.losses, self.state_dim, tuple(self.split_dimensions) or None
+        )
         if self.image_obs:
             self.encoder = SRLConvEncoder(self.state_dim)
         else:
             self.encoder = SRLMlpEncoder(self.state_dim)
+        recon = next(
+            (l for l in ("autoencoder", "vae", "dae") if l in self.losses), None
+        )
+        self._recon = recon
         if "vae" in self.losses:
-            self.log_var_head = nn.Dense(self.state_dim, kernel_init=ORTHO)
-        if any(l in self.losses for l in ("autoencoder", "vae", "dae")):
+            a, b = self.ranges["vae"]
+            self.log_var_head = nn.Dense(b - a, kernel_init=ORTHO)
+        if recon is not None:
             self.decoder = SRLDeconvDecoder(self.obs_hw, self.channels)
         if "forward" in self.losses:
-            self.forward_head = ForwardHead(self.state_dim)
+            a, b = self.ranges["forward"]
+            self.forward_head = ForwardHead(b - a)
         if "inverse" in self.losses:
             self.inverse_head = InverseHead(self.n_actions)
         if "reward" in self.losses:
             self.reward_head = RewardHead()
+
+    def _slice(self, s, loss):
+        a, b = self.ranges[loss]
+        return s[..., a:b]
 
     def encode(self, obs):
         return self.encoder(obs)
@@ -151,20 +204,26 @@ class SRLModules(nn.Module):
         return self.encode(obs)
 
     def decode(self, s):
-        return self.decoder(s)
+        return self.decoder(self._slice(s, self._recon))
 
     def vae_posterior(self, obs):
-        """Returns (mu, log_var); the encoder output doubles as mu."""
+        """Returns (mu, log_var) over the vae slice; the encoder output
+        doubles as mu."""
         mu = self.encoder(obs)
         # log_var from the same features: reuse mu as features (cheap).
-        log_var = self.log_var_head(mu)
+        log_var = self.log_var_head(self._slice(mu, "vae"))
         return mu, log_var
 
     def predict_forward(self, s, a):
-        return self.forward_head(s, a)
+        """Predicts the NEXT forward-slice from the forward-slice + action."""
+        return self.forward_head(self._slice(s, "forward"), a)
 
     def predict_inverse(self, s, s_next):
-        return self.inverse_head(s, s_next)
+        return self.inverse_head(
+            self._slice(s, "inverse"), self._slice(s_next, "inverse")
+        )
 
     def predict_reward(self, s, s_next):
-        return self.reward_head(s, s_next)
+        return self.reward_head(
+            self._slice(s, "reward"), self._slice(s_next, "reward")
+        )

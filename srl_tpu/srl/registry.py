@@ -8,8 +8,15 @@ from __future__ import annotations
 from srl_tpu.core.registry import Registry
 
 
-def _entry(srl_type, limited_to=None, losses=None):
-    return {"type": srl_type, "limited_to": limited_to, "losses": losses or []}
+def _entry(srl_type, limited_to=None, losses=None, splits=None):
+    return {
+        "type": srl_type,
+        "limited_to": limited_to,
+        "losses": losses or [],
+        # SRLModulesSplit split-dimension map (loss -> slice width, -1 =
+        # remaining dims); empty = combination mode on a shared vector.
+        "splits": splits or {},
+    }
 
 
 registered_srl: Registry = Registry("srl_model")
@@ -41,9 +48,6 @@ def _register_all():
         "random": [],  # random frozen encoder
         "random_inverse": ["inverse"],
         "reward_inverse": ["reward", "inverse"],
-        "srl_splits": ["autoencoder", "inverse", "forward"],
-        "srl_split_forward": ["autoencoder", "forward"],
-        "srl_3_splits": ["autoencoder", "inverse", "reward"],
         "reward": ["reward"],
         "vae": ["vae"],
         "dae": ["dae"],
@@ -51,6 +55,30 @@ def _register_all():
     }
     for name, losses in learned.items():
         registered_srl.register(name, _entry(SRLType.SRL, None, losses))
+
+    # Split-dimension models (SRLModulesSplit): each loss optimizes its own
+    # slice of the state vector. srl_splits matches the reference's shipped
+    # checkpoint combination (autoencoder_reward_inverse at ST_DIM 200,
+    # config/srl_models.yaml:14); the reconstruction loss takes the
+    # remaining dims (-1), task losses get small dedicated slices. The other
+    # two names have no recoverable reference config — the loss sets chosen
+    # here follow their names.
+    split_models = {
+        "srl_splits": (
+            ["autoencoder", "reward", "inverse"],
+            {"autoencoder": -1, "reward": 2, "inverse": 2},
+        ),
+        "srl_split_forward": (
+            ["autoencoder", "forward"],
+            {"autoencoder": -1, "forward": 2},
+        ),
+        "srl_3_splits": (
+            ["autoencoder", "inverse", "forward"],
+            {"autoencoder": -1, "inverse": 2, "forward": 2},
+        ),
+    }
+    for name, (losses, splits) in split_models.items():
+        registered_srl.register(name, _entry(SRLType.SRL, None, losses, splits))
 
 
 _register_all()

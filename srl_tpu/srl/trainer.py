@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from srl_tpu.srl.nets import SRLModules
+from srl_tpu.srl.nets import SRLModules, split_ranges
 
 
 def _pairs_indices(episode_starts: np.ndarray) -> np.ndarray:
@@ -49,9 +49,15 @@ class SRLTrainer:
         beta_vae: float = 1.0,
         noise_std_dae: float = 0.2,
         seed: int = 0,
+        split_dimensions: Optional[Dict[str, int]] = None,
     ):
         self.state_dim = state_dim
         self.losses = list(losses)
+        # SRLModulesSplit mode: each loss owns a state-vector slice
+        # (state_representation/models.py:60-92 resolves 'split-dimensions'
+        # from exp_config.json).
+        self.split_dimensions = dict(split_dimensions) if split_dimensions else None
+        self.ranges = split_ranges(self.losses, state_dim, self.split_dimensions)
         self.image_obs = image_obs
         self.obs_shape = tuple(obs_shape)
         self.n_actions = n_actions
@@ -65,6 +71,9 @@ class SRLTrainer:
             obs_hw=self.obs_shape[:2] if image_obs else (0, 0),
             channels=self.obs_shape[2] if image_obs else 0,
             n_actions=n_actions,
+            split_dimensions=tuple(self.split_dimensions.items())
+            if self.split_dimensions
+            else (),
         )
         self.tx = optax.adam(learning_rate)
         self.params = None
@@ -93,11 +102,14 @@ class SRLTrainer:
         elif "vae" in self.losses:
             mu, log_var = m.apply(params, obs, method=SRLModules.vae_posterior)
             key, sub = jax.random.split(key)
-            eps = jax.random.normal(sub, mu.shape)
-            s = mu + eps * jnp.exp(0.5 * log_var)
+            a, b = self.ranges["vae"]
+            eps = jax.random.normal(sub, log_var.shape)
+            # Reparameterize the vae slice only; other slices deterministic.
+            s = mu.at[..., a:b].add(eps * jnp.exp(0.5 * log_var))
             s_next = m.apply(params, obs_next, method=SRLModules.encode)
+            mu_v = mu[..., a:b]
             kl = -0.5 * jnp.mean(
-                jnp.sum(1 + log_var - jnp.square(mu) - jnp.exp(log_var), axis=-1)
+                jnp.sum(1 + log_var - jnp.square(mu_v) - jnp.exp(log_var), axis=-1)
             )
             total += self.beta_vae * kl * 0.001
             logs["kl"] = kl
@@ -130,7 +142,9 @@ class SRLTrainer:
         if "forward" in self.losses:
             a_onehot = jax.nn.one_hot(actions, self.n_actions)
             pred = m.apply(params, s, a_onehot, method=SRLModules.predict_forward)
-            fwd = jnp.mean(jnp.square(pred - jax.lax.stop_gradient(s_next)))
+            fa, fb = self.ranges["forward"]
+            target = jax.lax.stop_gradient(s_next[..., fa:fb])
+            fwd = jnp.mean(jnp.square(pred - target))
             total += fwd
             logs["forward"] = fwd
 
@@ -297,6 +311,12 @@ class SRLTrainer:
             "n_actions": self.n_actions,
             "obs-shape": list(self.obs_shape),
         }
+        if self.split_dimensions:
+            # Ordered loss -> slice-width map, as the reference reads it
+            # (state_representation/models.py:68-73).
+            exp_config["split-dimensions"] = {
+                k: int(v) for k, v in self.split_dimensions.items()
+            }
         with open(os.path.join(log_dir, "exp_config.json"), "w") as f:
             json.dump(exp_config, f, indent=2)
         payload = {

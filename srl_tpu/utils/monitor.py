@@ -45,6 +45,9 @@ class MonitorWriter:
         )
         self._f.flush()
 
+    def flush(self):
+        self._f.flush()
+
     def close(self):
         self._f.close()
 

@@ -1,0 +1,87 @@
+"""Real multi-process jax.distributed tests for srl_tpu.parallel.distributed.
+
+Launches TWO actual processes (2 virtual CPU devices each) that join one
+4-device global runtime over gloo, claim env slices, and run a sharded PPO
+update — then checks the result matches a single-process 4-device run of the
+same configuration bit-for-bit at the metric level. This is the DCN
+(multi-host) path of SURVEY §2.7 exercised for real, not simulated.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _parse(line_output: str, tag: str) -> float:
+    for line in line_output.splitlines():
+        if line.startswith("PGLOSS"):
+            parts = line.split()
+            return float(parts[parts.index(tag) + 1])
+    raise AssertionError(f"no {tag} line in output:\n{line_output}")
+
+
+@pytest.mark.slow
+def test_two_process_ppo_update_matches_single_process():
+    port = _free_port()
+    here = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(here, "distributed_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"worker failed:\nSTDOUT:\n{out}\nSTDERR:\n{err}"
+        outs.append(out)
+
+    pg = [_parse(o, "PGLOSS") for o in outs]
+    pnorm = [_parse(o, "PNORM") for o in outs]
+    assert pg[0] == pg[1], f"processes disagree on pg_loss: {pg}"
+    assert pnorm[0] == pnorm[1], f"processes disagree on param norm: {pnorm}"
+
+    # Single-process reference: same 8-env PPO config on a 4-device dp mesh
+    # of THIS process's virtual platform.
+    from srl_tpu.agents.ppo import PPO2, PPOConfig
+    from srl_tpu.envs.mobile_robot import MobileRobotEnv
+    from srl_tpu.parallel.mesh import make_mesh, shard_ppo_state
+
+    agent = PPO2(
+        env=MobileRobotEnv(),
+        num_envs=8,
+        config=PPOConfig(n_steps=8, nminibatches=2, noptepochs=1),
+    )
+    state = agent.init_state(jax.random.PRNGKey(0), n_updates=2)
+    state = shard_ppo_state(state, make_mesh(n_devices=4, tp=1))
+    new_state, metrics = jax.jit(agent.train_iteration)(state)
+    ref_pg = float(metrics["pg_loss"])
+    ref_norm = float(
+        jax.jit(
+            lambda p: jax.tree.reduce(
+                lambda a, x: a + (x.astype(jax.numpy.float32) ** 2).sum(),
+                p,
+                jax.numpy.float32(0.0),
+            )
+        )(new_state.params)
+    )
+    np.testing.assert_allclose(pg[0], ref_pg, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(pnorm[0], ref_norm, rtol=1e-5, atol=1e-6)

@@ -45,10 +45,10 @@ def test_reset_and_spaces():
     state = env.reset(jax.random.PRNGKey(0))
     obs = env.observe(state)
     assert obs.shape == (3,)
-    # Relative ground truth: tip - button_top.
-    tip = kin.fk(state.q)[4]
+    # Relative ground truth: gripper - button_top (getArmPos anchor).
+    grip = kin.fk_points(state.q)[1]
     np.testing.assert_allclose(
-        np.asarray(obs), np.asarray(tip - state.buttons[0]), atol=1e-6
+        np.asarray(obs), np.asarray(grip - state.buttons[0]), atol=1e-6
     )
     assert env.action_space.n == 6
 
@@ -125,21 +125,36 @@ def test_moving_button_oscillates():
 
 @pytest.mark.fast
 def test_two_button_progression():
-    env = Kuka2ButtonEnv(srl_model="ground_truth")
+    """Steer over button 0 (0.5, 0.125), press it — goal advances with NO
+    sparse reward (kuka_2button_gym_env.py:159-161) — then the episode is
+    still alive for button 1."""
+    env = Kuka2ButtonEnv(srl_model="ground_truth", noise_std=0.0)
     state = env.reset(jax.random.PRNGKey(0))
-    # Teleport tip over button 0 by forcing contacts: place button at tip xy.
-    tip = kin.fk(state.q)[4]
-    buttons = state.buttons.at[0, :2].set(tip[:2]).at[0, 2].set(float(tip[2]) + 0.001)
-    state = state.replace(buttons=buttons)
     step = jax.jit(env.step)
-    for _ in range(8):
-        state, r, d = step(state, jnp.int32(0))
-        # No sparse reward while pressing the FIRST button
-        # (kuka_2button_gym_env.py:159-161).
+    # Closed-loop: steer the integrated effector target over button 0, then
+    # descend (actions 0/1 = -/+dx, 2/3 = -/+dy, 4 = -dz). The arm follows
+    # the target with PyBullet-style servo lag, so the episode takes
+    # several hundred steps.
+    pressed_first = False
+    for _ in range(1400):
+        ee = np.asarray(state.ee_target)
+        err = np.asarray(state.buttons[0, :2]) - ee[:2]
+        if abs(err[0]) > 0.016:
+            a = 1 if err[0] > 0 else 0
+        elif abs(err[1]) > 0.016:
+            a = 3 if err[1] > 0 else 2
+        else:
+            a = 4
+        state, r, d = step(state, jnp.int32(a))
+        # No sparse reward while pressing the FIRST button.
         assert float(r) <= 0.0
         if int(state.goal_id) == 1:
+            pressed_first = True
             break
-    assert int(state.goal_id) == 1
+    assert pressed_first, (
+        f"never pressed button 0: tip={np.asarray(state.tip)} "
+        f"contacts={np.asarray(state.n_contacts)}"
+    )
     assert int(state.n_contacts[0]) >= 5
     assert not bool(state.terminated)
 
@@ -184,18 +199,139 @@ def test_shaped_rewards():
     env = KukaButtonEnv(srl_model="ground_truth", shape_reward=True, noise_std=0.0)
     state = env.reset(jax.random.PRNGKey(0))
     state, r, _ = jax.jit(env.step)(state, jnp.int32(0))
-    tip = kin.fk(state.q)[4]
-    expected = -np.linalg.norm(np.asarray(state.buttons[0]) - np.asarray(tip))
+    grip = kin.fk_points(state.q)[1]
+    expected = -np.linalg.norm(np.asarray(state.buttons[0]) - np.asarray(grip))
     np.testing.assert_allclose(float(r), expected, atol=1e-5)
+
+
+@pytest.mark.fast
+def test_ik_down_closed_form():
+    """Closed-form down-orientation IK reaches arbitrary in-workspace targets
+    exactly with the flange pointing straight down (kuka.py:144)."""
+    for tgt in ([0.537, 0.0, 0.5], [0.55, 0.1, 0.2], [0.5, 0.0, 0.125],
+                [0.65, -0.17, 0.0], [0.35, 0.3, 0.4]):
+        q = kin.ik_down(jnp.array(tgt, jnp.float32))
+        _, _, R, p_flange, _ = kin.fk(q)
+        np.testing.assert_allclose(np.asarray(p_flange), tgt, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(R[:, 2]), [0, 0, -1], atol=1e-5)
+
+
+@pytest.mark.fast
+def test_spd_solve_matches_scipy():
+    """spd_solve vs jax.scipy.linalg.solve on random SPD 6x6 systems."""
+    import jax.scipy.linalg as jsl
+
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        M = rng.randn(6, 6).astype(np.float32)
+        A = M @ M.T + 0.5 * np.eye(6, dtype=np.float32)
+        b = rng.randn(6).astype(np.float32)
+        x = np.asarray(kin.spd_solve(jnp.asarray(A), jnp.asarray(b)))
+        x_ref = np.asarray(jsl.solve(jnp.asarray(A), jnp.asarray(b), assume_a="pos"))
+        np.testing.assert_allclose(x, x_ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.fast
+def test_null_space_ik_limits_and_accuracy():
+    """Null-space IK (Kuka2Button mode, kuka.py:34-43) tracks a target near
+    the joint limits while staying inside them."""
+    @jax.jit
+    def run(q0, tgt):
+        def body(_, q):
+            return kin.control_step(q, tgt, null_space=True)
+        return jax.lax.fori_loop(0, 2500, body, q0)
+
+    # Button-area targets of the 2-button env (buttons at (0.5, +-0.125)).
+    for tgt in ([0.55, 0.1, 0.2], [0.5, -0.125, 0.15], [0.6, 0.25, 0.35]):
+        q = run(jnp.asarray(kin.REST_Q), jnp.array(tgt, jnp.float32))
+        p_flange = np.asarray(kin.fk(q)[3])
+        assert np.linalg.norm(p_flange - tgt) < 0.02, (tgt, p_flange)
+        assert np.all(np.asarray(q) >= kin.NULL_LL - 1e-5)
+        assert np.all(np.asarray(q) <= kin.NULL_UL + 1e-5)
+
+
+@pytest.mark.fast
+def test_tip_blocked_by_surfaces():
+    """The finger tip must never sink below the supporting surface: cap top
+    (pressed) over the button, table elsewhere — PyBullet's contact solver
+    equivalent."""
+    from srl_tpu.envs.kuka import BUTTON_CAP_PRESSED, BUTTON_CAP_RADIUS
+
+    env = KukaButtonEnv(srl_model="ground_truth", noise_std=0.0)
+    step = jax.jit(env.step)
+    # Descend straight onto the button: tip stops at the pressed cap height.
+    state = env.reset(jax.random.PRNGKey(0))
+    for _ in range(600):
+        state, r, d = step(state, jnp.int32(4))
+        tip = np.asarray(state.tip)
+        xy = np.linalg.norm(np.asarray(state.buttons[0, :2]) - tip[:2])
+        if xy <= BUTTON_CAP_RADIUS:
+            assert tip[2] >= BUTTON_CAP_PRESSED - 1e-5
+        else:
+            assert tip[2] >= Z_TABLE - 1e-5
+        if bool(d):
+            break
+
+
+@pytest.mark.fast
+def _random_policy_returns(env, B=32, length=2200, seed=1):
+    vec = VecEnv(env, B)
+    vstate, _ = vec.reset(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def run(vstate, key):
+        def body(carry, _):
+            vs, k = carry
+            k, sub = jax.random.split(k)
+            actions = jax.random.randint(sub, (B,), 0, 6)
+            vs, tr = vec.step(vs, actions)
+            return (vs, k), (tr.reward, tr.done)
+
+        return jax.lax.scan(body, (vstate, key), None, length=length)
+
+    (_, _), (rewards, dones) = run(vstate, jax.random.PRNGKey(seed))
+    rewards, dones = np.asarray(rewards), np.asarray(dones)
+    acc, rets = np.zeros(B), []
+    for t in range(rewards.shape[0]):
+        acc += rewards[t]
+        finished = np.where(dones[t])[0]
+        rets.extend(acc[finished].tolist())
+        acc[finished] = 0.0
+    return np.array(rets)
+
+
+@pytest.mark.fast
+def test_random_policy_is_not_trivial():
+    """A random policy must not trivially max the task: the reference arm
+    must land the finger on a 9 cm cap after a 0.37 m descent with the table
+    as a -1 death hazard (kuka_button_gym_env.py:428-463). The default task
+    starts nearly above the fixed button, so random still succeeds often —
+    but deaths MUST occur and the mean must sit clearly below the max of 5.
+    With random_target the button moves up to ~0.33 away and random play
+    mostly dies on the table."""
+    rets = _random_policy_returns(KukaButtonEnv(srl_model="ground_truth"))
+    assert len(rets) >= 20, "random episodes should terminate (cap or table)"
+    assert rets.mean() < 4.5, f"task too easy: random return {rets.mean():.2f}"
+    assert (rets < 0).sum() > 0, "the table hazard never fired"
+
+    rets_rt = _random_policy_returns(
+        KukaButtonEnv(srl_model="ground_truth", random_target=True)
+    )
+    assert rets_rt.mean() < 1.5, (
+        f"random_target too easy: random return {rets_rt.mean():.2f}"
+    )
+    assert (rets_rt < 0).sum() > len(rets_rt) // 3, "table deaths too rare"
 
 
 @pytest.mark.slow
 def test_kuka_ppo_learns_ground_truth():
-    """PPO on KukaButton ground_truth: returns improve (the arm learns to
-    descend onto the button for repeated +1 contacts)."""
+    """PPO on KukaButton random_target ground_truth: returns improve — the
+    arm must learn to steer toward the (randomized) button it observes in
+    relative coordinates and land the finger on the 9 cm cap. A random
+    policy scores ~-0.3 here (mostly table deaths); success is +5."""
     from srl_tpu.agents.ppo import PPO2
 
-    env = KukaButtonEnv(srl_model="ground_truth")
+    env = KukaButtonEnv(srl_model="ground_truth", random_target=True)
     agent = PPO2(env=env, num_envs=32)
     rets = []
 
@@ -203,11 +339,12 @@ def test_kuka_ppo_learns_ground_truth():
         if len(l["episode_returns"]) >= 10:
             rets.append(np.mean(l["episode_returns"][-10:]))
 
-    agent.learn(total_timesteps=250_000, seed=0, callback=cb)
+    agent.learn(total_timesteps=400_000, seed=0, callback=cb)
     assert rets, "no episodes finished"
     early = np.mean(rets[:3])
     late = np.mean(rets[-3:])
     assert late > early + 2, f"no learning: early={early:.2f} late={late:.2f}"
+    assert late > 1.0, f"never learned to press: late={late:.2f}"
 
 
 @pytest.mark.fast

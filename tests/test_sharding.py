@@ -95,6 +95,37 @@ def test_sharded_ppo_step_matches_single_device():
 
 
 @pytest.mark.fast
+def test_ppo_curve_equivalent_across_dp_shapes():
+    """A 12-update PPO training curve must be numerically equivalent on a
+    1-device layout and on dp=2/dp=4 meshes: the update math is identical,
+    only the reduction layout changes (tight float32 tolerance, compounding
+    over updates)."""
+    from srl_tpu.agents.ppo import PPO2, PPOConfig
+
+    def curve(dp):
+        agent = PPO2(env=MobileRobotEnv(), num_envs=16,
+                     config=PPOConfig(n_steps=8, nminibatches=2, noptepochs=1))
+        state = agent.init_state(jax.random.PRNGKey(3), n_updates=12)
+        if dp > 1:
+            state = shard_ppo_state(state, make_mesh(n_devices=dp, tp=1))
+        step = jax.jit(agent.train_iteration)
+        losses = []
+        for _ in range(12):
+            state, metrics = step(state)
+            losses.append(float(metrics["pg_loss"]))
+        flat = jax.flatten_util.ravel_pytree(state.params)[0]
+        return np.array(losses), np.asarray(flat)
+
+    ref_losses, ref_params = curve(1)
+    for dp in (2, 4):
+        losses, params = curve(dp)
+        np.testing.assert_allclose(losses, ref_losses, rtol=5e-3, atol=1e-4,
+                                   err_msg=f"dp={dp} curve diverged")
+        np.testing.assert_allclose(params, ref_params, rtol=5e-3, atol=1e-4,
+                                   err_msg=f"dp={dp} params diverged")
+
+
+@pytest.mark.fast
 def test_dp_tp_mesh_ppo_compiles_and_runs():
     """dp x tp layout: env batch over dp, dense kernels over tp."""
     from srl_tpu.agents.ppo import PPO2, PPOConfig

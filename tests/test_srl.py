@@ -140,6 +140,74 @@ def test_srl_encoded_env_rl_smoke(small_dataset, tmp_path):
 
 
 @pytest.mark.fast
+def test_split_dimensions_semantics(small_dataset, tmp_path):
+    """srl_splits trains a genuinely split encoder (SRLModulesSplit,
+    state_representation/models.py:60-92): 'split-dimensions' is written to
+    and read back from exp_config.json, and every head reads ONLY its own
+    slice of the state vector."""
+    import json
+
+    import jax.numpy as jnp
+
+    from srl_tpu.srl.nets import SRLModules
+
+    data, _ = small_dataset
+    entry = registered_srl["srl_splits"]
+    assert entry["losses"] == ["autoencoder", "reward", "inverse"]
+    trainer = SRLTrainer(
+        state_dim=8,
+        losses=entry["losses"],
+        obs_shape=(224, 224, 3),
+        n_actions=4,
+        split_dimensions=entry["splits"],
+    )
+    # -1 resolves to the remaining dims, slices allocated in loss order.
+    assert trainer.ranges == {
+        "autoencoder": (0, 4),
+        "reward": (4, 6),
+        "inverse": (6, 8),
+    }
+    trainer.fit(data, epochs=1, batch_size=16)
+    path = trainer.save(str(tmp_path / "splits"))
+
+    cfg = json.load(
+        open(os.path.join(os.path.dirname(path), "exp_config.json"))
+    )
+    assert cfg["split-dimensions"] == {"autoencoder": -1, "reward": 2,
+                                       "inverse": 2}
+
+    model = loadSRLModel(path)
+    assert model.split_dimensions, "loader dropped split-dimensions"
+    # Slice isolation: perturbing the autoencoder slice must not move the
+    # inverse head; perturbing the inverse slice must.
+    s0 = jnp.zeros((1, 8), jnp.float32)
+    s_ae = s0.at[0, 0].set(5.0)
+    s_inv = s0.at[0, 6].set(5.0)
+    apply = lambda a, b: np.asarray(
+        model.model.apply(model.params, a, b, method=SRLModules.predict_inverse)
+    )
+    np.testing.assert_allclose(apply(s0, s0), apply(s_ae, s_ae), atol=1e-6)
+    assert not np.allclose(apply(s0, s0), apply(s_inv, s_inv))
+    # Decoder reads only the autoencoder slice.
+    dec = lambda s: np.asarray(
+        model.model.apply(model.params, s, method=SRLModules.decode)
+    )
+    np.testing.assert_allclose(dec(s0), dec(s_inv), atol=1e-6)
+    assert not np.allclose(dec(s0), dec(s_ae))
+
+    # RL runs on the split encoder end-to-end.
+    from srl_tpu.agents.ppo import PPO2, PPOConfig
+    from srl_tpu.envs import make_env
+
+    env = make_env("MobileRobotGymEnv-v0", srl_model="raw_pixels", max_steps=15)
+    wrapped = SRLEncodedEnv(env, model)
+    assert wrapped.observation_space.shape == (8,)
+    agent = PPO2(env=wrapped, num_envs=4, config=PPOConfig(n_steps=8))
+    state = agent.learn(total_timesteps=8 * 4 * 2, seed=0)
+    assert int(state.update_idx) == 2
+
+
+@pytest.mark.fast
 def test_fusion_and_relative_pos(tmp_path):
     from srl_tpu.data.change_to_relative_pos import convert_to_relative
     from srl_tpu.data.dataset_fusioner import fuse_datasets

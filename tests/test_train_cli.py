@@ -36,6 +36,35 @@ def test_train_cli_quickstart(tmp_path):
 
 
 @pytest.mark.fast
+def test_live_training_curves(tmp_path, monkeypatch):
+    """The learning-curve PNG must refresh DURING training every
+    LOG_INTERVAL (reference updates its visdom windows live,
+    train.py:162-167), not only at run end."""
+    import srl_tpu.experiments.visualize as vis
+
+    mtimes = []
+    real_plot = vis.plot_log_dir
+
+    def spy(*a, **kw):
+        out = real_plot(*a, **kw)
+        if out and os.path.exists(out):
+            mtimes.append(os.path.getmtime(out))
+        return out
+
+    monkeypatch.setattr(vis, "plot_log_dir", spy)
+    train_main([
+        "--algo", "ppo2", "--env", "MobileRobot1DGymEnv-v0",
+        "--srl-model", "ground_truth", "--num-timesteps", "6000",
+        "--log-dir", str(tmp_path), "--num-envs", "8",
+        "--min-episodes-save", "5", "--seed", "1",
+        "--hyperparam", "n_steps:16",  # ~47 updates -> several LOG_INTERVALs
+    ])
+    # At least one refresh happened mid-training (callback) plus the final
+    # one: two plot calls total or more.
+    assert len(mtimes) >= 2, f"live plotting never ran during training: {mtimes}"
+
+
+@pytest.mark.fast
 @pytest.mark.parametrize("algo", ["a2c", "random_agent"])
 def test_train_cli_other_algos(tmp_path, algo):
     log_dir = train_main([
