@@ -397,7 +397,7 @@ class ACER(BaseRLAgent):
         if deterministic:
             return np.asarray(jnp.argmax(logits, axis=-1))
         if key is None:
-            key = jax.random.PRNGKey(int(time.time_ns()) % (2**31))
+            key = self._next_act_key()
         return np.asarray(jax.random.categorical(key, logits))
 
     def getActionProba(self, observation, dones=None):

@@ -24,6 +24,17 @@ class BaseRLAgent:
 
     def __init__(self):
         self.state = None  # algorithm-specific train-state pytree
+        self._act_key = None  # deterministic inference key stream
+
+    def _next_act_key(self):
+        """Deterministic fallback key for getAction when the caller passes
+        none: a per-agent split stream seeded from a fixed constant, so
+        replay/enjoy runs are reproducible (the framework's determinism-first
+        stance) instead of wall-clock-seeded."""
+        if getattr(self, "_act_key", None) is None:
+            self._act_key = jax.random.PRNGKey(0)
+        self._act_key, key = jax.random.split(self._act_key)
+        return key
 
     # ---- CLI integration (base_classes.py:30-81) -----------------------
     def customArguments(self, parser):

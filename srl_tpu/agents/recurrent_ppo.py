@@ -275,7 +275,7 @@ class RecurrentPPO2(BaseRLAgent):
         if deterministic:
             return np.asarray(dist.mode())
         if key is None:
-            key = jax.random.PRNGKey(int(time.time_ns()) % (2**31))
+            key = self._next_act_key()
         return np.asarray(dist.sample(key))
 
     def getActionProba(self, observation, dones=None):

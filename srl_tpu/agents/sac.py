@@ -322,7 +322,7 @@ class SAC(BaseRLAgent):
         if deterministic:
             return np.asarray(jnp.tanh(mean))
         if key is None:
-            key = jax.random.PRNGKey(int(time.time_ns()) % (2**31))
+            key = self._next_act_key()
         act, _ = _sample_action(mean, log_std, key)
         return np.asarray(act)
 

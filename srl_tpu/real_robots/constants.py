@@ -52,12 +52,23 @@ class BaxterGazebo:
     IMAGE_TOPIC = "/cameras/head_camera_2/image"
 
 
-# ==== Robobo ====
+# ==== Robobo (reference constants.py:48-77) ====
 class Robobo:
-    MAX_STEPS = 100
-    MIN_X, MAX_X = -2.0, 2.0
-    MIN_Y, MAX_Y = -2.0, 2.0
+    MAX_STEPS = 20
+    # Grid boundaries (integer cells)
+    MIN_X, MAX_X = -3, 3
+    MIN_Y, MAX_Y = -4, 3
     IMAGE_TOPIC = "/camera/rgb/image_raw"
+    SECOND_CAM_TOPIC = None
+    DATA_FOLDER_SECOND_CAM = "real_robobo_second_cam"
+    # Calibrated area (px) of the target when fully visible; the reward
+    # fires when the detected area shrinks by MIN_DELTA_AREA (the robot
+    # covering the target).
+    TARGET_INITIAL_AREA = 3700
+    MIN_DELTA_AREA = 0.2
+    # HSV threshold calibration (OpenCV convention: H in [0,180))
+    LOWER_RED = np.array([120, 130, 0])
+    UPPER_RED = np.array([135, 255, 255])
     REWARD_TARGET_REACH = 1
     REWARD_NOTHING = 0
     REWARD_BUMP_WALL = -1

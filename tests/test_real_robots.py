@@ -215,3 +215,244 @@ def test_marker_finder_rejects_unknown_code():
     finder = MakerFinder({"camera_matrix": K})
     finder.setMarkerCode("robot", code, 0.2)
     assert finder.findMarker(img, "robot") is None
+
+
+# ---------------------------------------------------------------------------
+# Per-robot server fidelity (gazebo_server / real_baxter_server /
+# real_robobo_server parity)
+# ---------------------------------------------------------------------------
+
+class _FakeRoboboRig:
+    """Records actuation commands; yaw follows the target perfectly."""
+
+    def __init__(self):
+        self.commands = []
+        self._yaw = 0.0
+
+    def move(self, t, speed):
+        self.commands.append(("move", round(t, 4), speed))
+
+    def turn(self, t, speed):
+        self.commands.append(("turn", round(t, 4), speed))
+        self._yaw += 90.0 if speed < 0 else -90.0
+
+    def stop(self):
+        self.commands.append(("stop",))
+
+    def yaw(self):
+        return self._yaw
+
+    def sleep(self, seconds):
+        pass  # no real robot to wait for
+
+
+@pytest.mark.fast
+def test_robobo_motion_grid_and_timing():
+    from srl_tpu.real_robots import constants as C
+    from srl_tpu.real_robots.ros_servers import RoboboMotion
+
+    rig = _FakeRoboboRig()
+    m = RoboboMotion(rig)
+    m.init_yaw_north()
+    # Calibrated rotation time: (90 - 38)/50 + 1 = 2.04 s
+    assert abs(m.compute_time("left") - 2.04) < 1e-9
+    # FORWARD advances y by one cell via a single timed translation
+    assert m.apply_move(0) is False
+    assert m.position == [0, 1]
+    assert ("move", 1.7, 10) in rig.commands
+    # RIGHT = turn right, forward, turn back left; x += 1, heading restored
+    rig.commands.clear()
+    assert m.apply_move(3) is False
+    assert m.position == [1, 1]
+    kinds = [c[0] for c in rig.commands]
+    assert kinds == ["turn", "move", "turn"]
+    assert m.current_face_idx == 1  # facing north again
+    # Boundary bump: walk x to MAX_X then once more
+    m.position = [C.Robobo.MAX_X, 0]
+    assert m.apply_move(3) is True  # bumped, position unchanged
+    assert m.position == [C.Robobo.MAX_X, 0]
+    # BACKWARD at MIN_Y bumps
+    m.position = [0, C.Robobo.MIN_Y]
+    assert m.apply_move(1) is True
+
+
+def _target_image(size=64, blob=12):
+    """RGB image with a blue-ish blob matching the calibrated HSV window
+    (H 120-135 in OpenCV convention = 240-270 degrees)."""
+    img = np.zeros((size, size, 3), np.uint8)
+    img[..., :] = (40, 40, 40)
+    img[10:10 + blob, 20:20 + blob] = (60, 0, 255)  # saturated blue
+    return img
+
+
+@pytest.mark.fast
+def test_find_target_centroid_and_area():
+    from srl_tpu.real_robots.ros_servers import find_target
+
+    cx, cy, area, error = find_target(_target_image())
+    assert not error
+    assert abs(cx - 25) <= 3 and abs(cy - 15) <= 3
+    assert area > 0
+    # No target -> error flag
+    _, _, area0, error0 = find_target(np.zeros((64, 64, 3), np.uint8))
+    assert error0 and area0 == 0.0
+
+
+@pytest.mark.fast
+def test_robobo_server_loopback():
+    """Full episode against the RoboboServer over a real socket: the reward
+    flips to +1 when the target area shrinks below the calibrated initial
+    area by MIN_DELTA_AREA, and to -1 on a grid bump."""
+    from srl_tpu.real_robots import constants as C
+    from srl_tpu.real_robots.remote_env import RoboboEnv
+    from srl_tpu.real_robots.ros_servers import RoboboServer, find_target
+
+    full = _target_image(size=224, blob=80)
+    img_holder = {"img": full}
+    _, _, full_area, _ = find_target(full)
+    # Calibrate the constant against the synthetic blob for this test.
+    old_area = C.Robobo.TARGET_INITIAL_AREA
+    C.Robobo.TARGET_INITIAL_AREA = full_area
+    try:
+        port = _free_port()
+        server = RoboboServer(
+            port, rig=_FakeRoboboRig(), get_image=lambda: img_holder["img"]
+        )
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+
+        env = RoboboEnv(port=port - 0, srl_model="raw_pixels")
+        obs = env.reset()
+        assert obs.shape == (224, 224, 3)
+        # Target fully visible -> no reward
+        obs, reward, done, _ = env.step(0)
+        assert reward == 0
+        np.testing.assert_array_equal(env.getGroundTruth(), [0, 1])
+        # Cover most of the target -> area shrinks -> reward 1
+        img_holder["img"] = _target_image(size=224, blob=20)
+        obs, reward, done, _ = env.step(0)
+        assert reward == 1
+        # Drive into the wall -> reward -1
+        server.motion.position = [0, C.Robobo.MAX_Y]
+        obs, reward, done, _ = env.step(0)
+        assert reward == -1
+        env.close()
+        thread.join(timeout=5)
+        assert not thread.is_alive()
+    finally:
+        C.Robobo.TARGET_INITIAL_AREA = old_area
+
+
+class _FakeBaxterRig:
+    """IK succeeds only inside a workspace sphere; tracks the button."""
+
+    def __init__(self, cfg, button_pressed=False):
+        self.cfg = cfg
+        self._ee = np.array(cfg.LEFT_ARM_INIT_POS, np.float64)
+        self._pressed = button_pressed
+        self.enabled = False
+
+    def ee_position(self):
+        return self._ee.copy()
+
+    def ik_move(self, position):
+        if np.linalg.norm(position) > 2.0:  # out of reach -> IK failure
+            return False
+        self._ee = np.asarray(position, np.float64)
+        return True
+
+    def init_pose(self):
+        self._ee = np.array(self.cfg.LEFT_ARM_INIT_POS, np.float64)
+
+    def enable(self):
+        self.enabled = True
+
+    def button_pressed(self):
+        return self._pressed
+
+    def button_position(self):
+        return np.array([0.6, 0.3, -0.14])
+
+    def base_pose(self):
+        # Base slightly below the world origin (translation-only, so the
+        # client's MAX_DISTANCE check stays within range).
+        return np.array([0.0, 0.0, -0.1]), np.array([0.0, 0.0, 0.0, 1.0])
+
+    def image(self):
+        return np.zeros((224, 224, 3), np.uint8)
+
+
+@pytest.mark.fast
+def test_gazebo_vs_real_baxter_servers():
+    """The two Baxter servers share the IK-step protocol but differ exactly
+    where the reference's do: Gazebo reward = simulated button state with a
+    base-relative button position; real reward = distance threshold against
+    the calibrated BUTTON_POS, and reset enables the robot."""
+    from srl_tpu.real_robots import constants as C
+    from srl_tpu.real_robots.remote_env import BaxterEnv
+    from srl_tpu.real_robots.ros_servers import (
+        GazeboBaxterServer, RealBaxterServer, change_coordinate_system,
+    )
+
+    # Frame-change math: a 90-deg rotation about z maps +x to +y.
+    s = np.sin(np.pi / 4)
+    rel = change_coordinate_system(
+        [1.0, 0.0, 0.0], [0.0, 0.0, 0.0], [0.0, 0.0, s, np.cos(np.pi / 4)]
+    )
+    np.testing.assert_allclose(rel, [0.0, -1.0, 0.0], atol=1e-12)
+
+    # --- Gazebo ---
+    port = _free_port()
+    rig = _FakeBaxterRig(C.BaxterGazebo, button_pressed=True)
+    server = GazeboBaxterServer(port, rig=rig)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    env = BaxterEnv(port=port, srl_model="raw_pixels", real=False)
+    env.reset()
+    obs, reward, done, _ = env.step(0)
+    assert reward >= 1  # pressed button reported through the protocol
+    # Button position arrives in the base frame, not world frame
+    expected = change_coordinate_system(
+        rig.button_position(), *rig.base_pose()
+    )
+    np.testing.assert_allclose(env.getTargetPos(), expected, atol=1e-6)
+    env.close()
+    thread.join(timeout=5)
+
+    # --- Real ---
+    port = _free_port()
+    rig = _FakeBaxterRig(C.RealBaxter)
+    server = RealBaxterServer(port, rig=rig)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    env = BaxterEnv(port=port, srl_model="raw_pixels", real=True)
+    env.reset()
+    assert rig.enabled  # real reset enables the robot first
+    # Init pos is ~0.196 m from BUTTON_POS: no reward yet
+    obs, reward, done, _ = env.step(0)
+    # Teleport the rig next to the button: distance reward fires
+    rig._ee = np.array(C.RealBaxter.BUTTON_POS) + 0.01
+    obs, reward, done, _ = env.step(0)
+    assert reward >= 1
+    env.close()
+    thread.join(timeout=5)
+
+
+@pytest.mark.fast
+def test_baxter_ik_failure_keeps_position():
+    """An unreachable IK target leaves the end-effector where it was
+    (gazebo_server.py:127-137 'returning previous one')."""
+    from srl_tpu.real_robots import constants as C
+    from srl_tpu.real_robots.ros_servers import GazeboBaxterServer
+
+    class _Srv(GazeboBaxterServer):
+        def __init__(self, rig):  # skip the socket
+            self.rig = rig
+            self.cfg = C.BaxterGazebo
+
+    rig = _FakeBaxterRig(C.BaxterGazebo)
+    srv = _Srv(rig)
+    before = rig.ee_position()
+    state, _ = srv.handle({"command": "action", "action": [100.0, 0, 0]})
+    np.testing.assert_array_equal(rig.ee_position(), before)
+    np.testing.assert_allclose(state["position"], before)
