@@ -108,6 +108,19 @@ def main():
         parts["kuka_button_raw_pixels"] = steps / dt
     except Exception:
         pass
+    # CarRacing: full Box2D-equivalent car dynamics + track tiles in JAX
+    # (car_env.py semantics; ground-truth observation mode).
+    try:
+        from srl_tpu.envs.car_racing import CarRacingEnv
+
+        steps, dt = bench_env(
+            CarRacingEnv(srl_model="ground_truth"), num_envs=2048, n_steps=128
+        )
+        parts["car_racing"] = steps / dt
+        total_steps += steps
+        total_time += dt
+    except Exception:
+        pass
 
     value = total_steps / total_time
     print(
