@@ -121,6 +121,16 @@ def main():
         total_time += dt
     except Exception:
         pass
+    try:
+        from srl_tpu.envs.car_racing import CarRacingEnv
+
+        steps, dt = bench_env(
+            CarRacingEnv(srl_model="raw_pixels"), num_envs=256, n_steps=32,
+            n_iters=3,
+        )
+        parts["car_racing_raw_pixels"] = steps / dt
+    except Exception:
+        pass
 
     value = total_steps / total_time
     print(

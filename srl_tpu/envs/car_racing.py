@@ -228,8 +228,17 @@ class CarRacingEnv(TpuEnv):
         return self.render_pixels(state)
 
     def render_pixels(self, state: CarRacingState) -> jax.Array:
-        """Car-centered top-down view: grass, track band, visited-tile tint,
-        car box — matching the gym view's information content."""
+        """Car-centered top-down view: grass, track band, car box — matching
+        the gym view's information content.
+
+        Perf: the naive field is min over all N_TILES of a per-pixel
+        distance — H*W*N_TILES (~12.6M) multiply-adds per frame. Instead:
+        (1) only the K tiles nearest the car can be visible in the 60-unit
+        view, selected with top_k; (2) the distance field is evaluated on a
+        56x56 grid and bilinearly upsampled — the quadratic field is smooth
+        at the ~1-world-unit grid pitch while the track band is ~7 units
+        wide, so the threshold edge moves by well under a band width.
+        ~30x fewer FLOPs per frame."""
         h, w = RENDER_HEIGHT, RENDER_WIDTH
         view = 60.0  # world units across the view
         ys = jnp.linspace(view / 2, -view / 2, h)
@@ -246,11 +255,22 @@ class CarRacingEnv(TpuEnv):
         checker = ((jnp.floor(wx / 10.0) + jnp.floor(wy / 10.0)) % 2)
         img = grass * (0.92 + 0.08 * checker[..., None])
 
-        # Track: distance to track points.
-        px = wx[..., None] - state.track[None, None, :, 0]
-        py = wy[..., None] - state.track[None, None, :, 1]
-        d2 = jnp.square(px) + jnp.square(py)
-        min_d2 = jnp.min(d2, axis=-1)
+        # Track band via a coarse distance field over the K nearest tiles.
+        K, LOW = 128, 56
+        d2_car = jnp.sum(jnp.square(state.track - state.pos[None, :]), axis=-1)
+        _, idx = jax.lax.top_k(-d2_car, K)
+        near = state.track[idx]  # [K, 2]
+        ys_lo = jnp.linspace(view / 2, -view / 2, LOW)
+        xs_lo = jnp.linspace(-view / 2, view / 2, LOW)
+        gx_lo, gy_lo = jnp.meshgrid(xs_lo, ys_lo)
+        wx_lo = state.pos[0] + c * gx_lo - s * gy_lo
+        wy_lo = state.pos[1] + s * gx_lo + c * gy_lo
+        d2_lo = jnp.min(
+            jnp.square(wx_lo[..., None] - near[None, None, :, 0])
+            + jnp.square(wy_lo[..., None] - near[None, None, :, 1]),
+            axis=-1,
+        )
+        min_d2 = jax.image.resize(d2_lo, (h, w), "linear")
         on_track = min_d2 < TRACK_WIDTH**2
         img = jnp.where(on_track[..., None], jnp.array([0.4, 0.4, 0.4]), img)
 
