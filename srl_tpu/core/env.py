@@ -177,6 +177,11 @@ class VecEnv:
                 cur,
             )
 
+        # Perf note: this cond only skips the reset pass when step runs
+        # under plain jit/scan. Under an outer vmap (or GSPMD contexts that
+        # lower cond to select) both branches execute every step and the
+        # optimization silently disappears — correctness is unaffected, but
+        # don't rely on the skip if you vmap over VecEnv itself.
         env_state = jax.lax.cond(
             jnp.any(done), _with_reset, lambda cur: cur, env_state
         )
