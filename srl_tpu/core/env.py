@@ -135,11 +135,19 @@ class VecEnv:
         self.num_envs = num_envs
 
     # All methods are pure and jit/vmap/shard_map-safe.
+    def _observe(self, env_state) -> jax.Array:
+        """Batched observation: envs may provide observe_batched (e.g. a
+        Pallas renderer whose batch axis is the kernel grid, not vmap)."""
+        batched = getattr(self.env, "observe_batched", None)
+        if batched is not None:
+            return batched(env_state)
+        return jax.vmap(self.env.observe)(env_state)
+
     def reset(self, key: jax.Array) -> Tuple[VecEnvState, jax.Array]:
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, self.num_envs)
         env_state = jax.vmap(self.env.reset)(keys)
-        obs = jax.vmap(self.env.observe)(env_state)
+        obs = self._observe(env_state)
         n = self.num_envs
         vstate = VecEnvState(
             env_state=env_state,
@@ -186,7 +194,7 @@ class VecEnv:
             jnp.any(done), _with_reset, lambda cur: cur, env_state
         )
 
-        obs = jax.vmap(self.env.observe)(env_state)
+        obs = self._observe(env_state)
         transition = Transition(
             obs=obs,
             reward=reward,

@@ -493,6 +493,24 @@ class KukaButtonEnv(TpuEnv):
 
         return render_kuka(self, state)
 
+    def observe_batched(self, states) -> jax.Array:
+        """Batched observation hook used by VecEnv. For pixel modes on TPU
+        this routes to the Pallas tile ray-tracer (ops/pallas_render3d.py),
+        which keeps the ~20-primitive intersect-shade-composite loop in VMEM
+        instead of materializing per-primitive [H, W] buffers; other modes
+        (and the CPU test platform) fall back to vmap over observe."""
+        pixel_mode = self.srl_model not in (
+            "ground_truth", "joints", "joints_position"
+        )
+        if pixel_mode and (
+            jax.default_backend() == "tpu"
+            or getattr(self, "force_pallas_render", False)
+        ):
+            from srl_tpu.ops.pallas_render3d import render_kuka_pallas
+
+            return render_kuka_pallas(self, states)
+        return jax.vmap(self.observe)(states)
+
 
 class KukaRandButtonEnv(KukaButtonEnv):
     name = "KukaRandButtonGymEnv-v0"

@@ -1,0 +1,351 @@
+"""Pallas TPU kernel for the ray-traced Kuka renderer.
+
+The XLA lowering of the Kuka scene (ops/renderer3d.py) materializes a
+[H, W] depth + [H, W, 3] normal buffer per primitive (~20 primitives:
+floor, table, button cylinders, nine arm capsules, distractor spheres),
+so the raw_pixels path is HBM-bandwidth-bound. This kernel tiles the image
+over an (row-block, env) program grid: the static camera-ray planes stream
+HBM->VMEM once per row block and stay resident across the env axis, the
+per-env scene parameters (arm capsule endpoints from FK, button/distractor
+positions) ride in a small VMEM table, and the entire
+intersect-shade-composite loop runs per tile with no HBM intermediates.
+
+Unlike the thin MobileRobot compositor (ops/pallas_render.py, where XLA's
+single fused elementwise kernel wins), the per-pixel work here is ~20
+quadratic intersections — heavy enough to amortize the program grid.
+
+Scene geometry and shading constants are shared with ops/renderer3d.py so
+the two paths render the same scene; parity is asserted in tests.
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from srl_tpu.ops import renderer3d as r3
+
+BH = 32  # rows per grid program
+BIG = r3.BIG
+
+
+def _shade_composite(state, t, nx, ny, nz, color):
+    """Lambertian shade + min-depth composite into (t_best, r, g, b)."""
+    t_best, r, g, b = state
+    lx, ly, lz = (float(v) for v in r3.LIGHT_DIR)
+    lam = jnp.clip(nx * lx + ny * ly + nz * lz, 0.0, 1.0)
+    sh = 0.45 + 0.55 * lam
+    closer = t < t_best
+    cr, cg, cb = (float(c) for c in color)
+    r = jnp.where(closer, sh * cr, r)
+    g = jnp.where(closer, sh * cg, g)
+    b = jnp.where(closer, sh * cb, b)
+    return jnp.minimum(t, t_best), r, g, b
+
+
+def _hit_floor(eye, dx, dy, dz, z):
+    t = (z - eye[2]) / jnp.where(jnp.abs(dz) < 1e-8, 1e-8, dz)
+    return jnp.where(t > 1e-4, t, BIG)
+
+
+def _hit_aabb(eye, dx, dy, dz, center, half):
+    t_near = jnp.full_like(dx, -BIG)
+    t_far = jnp.full_like(dx, BIG)
+    # Track which axis realizes t_near for the normal.
+    nx = jnp.zeros_like(dx)
+    ny = jnp.zeros_like(dx)
+    nz = jnp.zeros_like(dx)
+    for axis, d in enumerate((dx, dy, dz)):
+        inv = 1.0 / jnp.where(jnp.abs(d) < 1e-8, 1e-8, d)
+        lo = (center[axis] - half[axis] - eye[axis]) * inv
+        hi = (center[axis] + half[axis] - eye[axis]) * inv
+        a_min = jnp.minimum(lo, hi)
+        a_max = jnp.maximum(lo, hi)
+        take = a_min > t_near
+        sgn = -jnp.sign(d)
+        nx = jnp.where(take, sgn if axis == 0 else 0.0, nx)
+        ny = jnp.where(take, sgn if axis == 1 else 0.0, ny)
+        nz = jnp.where(take, sgn if axis == 2 else 0.0, nz)
+        t_near = jnp.maximum(t_near, a_min)
+        t_far = jnp.minimum(t_far, a_max)
+    hit = (t_near <= t_far) & (t_far > 1e-4) & (t_near > 1e-4)
+    t = jnp.where(hit, t_near, BIG)
+    return t, nx, ny, nz
+
+
+def _hit_vcylinder(eye, dx, dy, dz, cx, cy, radius, z_lo, z_hi):
+    ox = eye[0] - cx
+    oy = eye[1] - cy
+    a = dx * dx + dy * dy
+    bq = 2.0 * (ox * dx + oy * dy)
+    c = ox * ox + oy * oy - radius * radius
+    disc = bq * bq - 4 * a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    a_safe = jnp.where(jnp.abs(a) < 1e-8, 1e-8, a)
+    t_side = (-bq - sq) / (2 * a_safe)
+    z_at = eye[2] + t_side * dz
+    side_ok = (disc > 0) & (t_side > 1e-4) & (z_at >= z_lo) & (z_at <= z_hi)
+    t_side = jnp.where(side_ok, t_side, BIG)
+    snx = (ox + t_side * dx) / radius
+    sny = (oy + t_side * dy) / radius
+
+    t_cap = _hit_floor(eye, dx, dy, dz, z_hi)
+    px = eye[0] + t_cap * dx - cx
+    py = eye[1] + t_cap * dy - cy
+    cap_ok = (px * px + py * py) <= radius * radius
+    t_cap = jnp.where(cap_ok, t_cap, BIG)
+
+    use_cap = t_cap < t_side
+    t = jnp.minimum(t_side, t_cap)
+    nx = jnp.where(use_cap, 0.0, snx)
+    ny = jnp.where(use_cap, 0.0, sny)
+    nz = jnp.where(use_cap, 1.0, jnp.zeros_like(t))
+    return t, nx, ny, nz
+
+
+def _hit_sphere(eye, dx, dy, dz, sx, sy, sz, radius):
+    inv_r = 1.0 / radius
+    ocx, ocy, ocz = eye[0] - sx, eye[1] - sy, eye[2] - sz
+    bq = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
+    c = ocx * ocx + ocy * ocy + ocz * ocz - radius * radius
+    disc = bq * bq - 4 * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t = (-bq - sq) * 0.5
+    ok = (disc > 0) & (t > 1e-4)
+    t = jnp.where(ok, t, BIG)
+    nx = (eye[0] + t * dx - sx) * inv_r
+    ny = (eye[1] + t * dy - sy) * inv_r
+    nz = (eye[2] + t * dz - sz) * inv_r
+    return t, nx, ny, nz
+
+
+def _hit_cylinder_body(eye, dx, dy, dz, ax, ay, az, bx, by, bz, radius):
+    """The cylindrical body of a capsule (axis parameter s clamped to the
+    segment); cap spheres are composited separately so adjacent arm links
+    share one joint sphere instead of testing two."""
+    inv_r = 1.0 / radius
+    bax, bay, baz = bx - ax, by - ay, bz - az
+    inv_ba_len2 = 1.0 / (bax * bax + bay * bay + baz * baz + 1e-12)
+    oax, oay, oaz = eye[0] - ax, eye[1] - ay, eye[2] - az
+    d_dot_ba = dx * bax + dy * bay + dz * baz
+    oa_dot_ba = oax * bax + oay * bay + oaz * baz
+    aa = 1.0 - d_dot_ba * d_dot_ba * inv_ba_len2
+    bbq = 2.0 * (
+        (dx * oax + dy * oay + dz * oaz) - d_dot_ba * oa_dot_ba * inv_ba_len2
+    )
+    cc = (
+        oax * oax + oay * oay + oaz * oaz
+        - oa_dot_ba * oa_dot_ba * inv_ba_len2
+        - radius * radius
+    )
+    disc = bbq * bbq - 4 * aa * cc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    aa_safe = jnp.where(jnp.abs(aa) < 1e-8, 1e-8, aa)
+    t_cyl = (-bbq - sq) / (2 * aa_safe)
+    s = (oa_dot_ba + t_cyl * d_dot_ba) * inv_ba_len2
+    cyl_ok = (disc > 0) & (t_cyl > 1e-4) & (s >= 0.0) & (s <= 1.0)
+    t_cyl = jnp.where(cyl_ok, t_cyl, BIG)
+    nx = (eye[0] + t_cyl * dx - (ax + s * bax)) * inv_r
+    ny = (eye[1] + t_cyl * dy - (ay + s * bay)) * inv_r
+    nz = (eye[2] + t_cyl * dz - (az + s * baz)) * inv_r
+    return t_cyl, nx, ny, nz
+
+
+def _make_kernel(eye, n_buttons: int, n_pts: int, n_distract: int,
+                 z_table: float, base_radius: float, base_top: float,
+                 cap_radius: float, cap_top: float):
+    """Build the scene kernel for a static env config. Scene row layout:
+    [pts (n_pts*3) | buttons (n_buttons*2) | distractors (n_distract*3) |
+    ball (3 if n_distract)]."""
+
+    def kernel(scene_ref, dx_ref, dy_ref, dz_ref, out_ref):
+        scene = scene_ref[pl.program_id(1)]
+        dx = dx_ref[0]
+        dy = dy_ref[0]
+        dz = dz_ref[0]
+
+        sky = r3.SKY_COLOR
+        t_best = jnp.full(dx.shape, BIG, jnp.float32)
+        st = (
+            t_best,
+            jnp.full(dx.shape, float(sky[0]), jnp.float32),
+            jnp.full(dx.shape, float(sky[1]), jnp.float32),
+            jnp.full(dx.shape, float(sky[2]), jnp.float32),
+        )
+
+        # Floor plane.
+        t = _hit_floor(eye, dx, dy, dz, r3.FLOOR_Z)
+        one = jnp.ones_like(t)
+        zero = jnp.zeros_like(t)
+        st = _shade_composite(st, t, zero, zero, one, r3.FLOOR_COLOR)
+
+        # Table box.
+        t, nx, ny, nz = _hit_aabb(
+            eye, dx, dy, dz, tuple(map(float, r3.TABLE_CENTER)),
+            tuple(map(float, r3.TABLE_HALF)),
+        )
+        st = _shade_composite(st, t, nx, ny, nz, r3.TABLE_COLOR)
+
+        # Buttons: base cylinder + cap.
+        cap_colors = [r3.BUTTON_CAP_YELLOW, r3.BUTTON_CAP_TEAL]
+        off = n_pts * 3
+        for i in range(n_buttons):
+            bx = scene[off + 2 * i]
+            by = scene[off + 2 * i + 1]
+            t, nx, ny, nz = _hit_vcylinder(
+                eye, dx, dy, dz, bx, by, base_radius, z_table, base_top
+            )
+            st = _shade_composite(st, t, nx, ny, nz, r3.BUTTON_GREEN)
+            t, nx, ny, nz = _hit_vcylinder(
+                eye, dx, dy, dz, bx, by, cap_radius, base_top, cap_top
+            )
+            st = _shade_composite(st, t, nx, ny, nz, cap_colors[min(i, 1)])
+
+        # Arm capsules along the chain: cylinder bodies, then one shared
+        # sphere per joint (adjacent capsules' cap spheres coincide, so this
+        # does n_pts sphere tests instead of 2*n_seg).
+        n_seg = n_pts - 1
+        seg_color = [
+            r3.ARM_ORANGE if i % 2 == 0 else r3.ARM_SILVER
+            for i in range(n_seg)
+        ]
+        for i in range(n_seg):
+            ax, ay, az = scene[3 * i], scene[3 * i + 1], scene[3 * i + 2]
+            bx2, by2, bz2 = (
+                scene[3 * i + 3], scene[3 * i + 4], scene[3 * i + 5]
+            )
+            radius = r3.ARM_LINK_RADIUS if i < n_seg - 1 else 0.035
+            t, nx, ny, nz = _hit_cylinder_body(
+                eye, dx, dy, dz, ax, ay, az, bx2, by2, bz2, radius
+            )
+            st = _shade_composite(st, t, nx, ny, nz, seg_color[i])
+        for i in range(n_pts):
+            sx = scene[3 * i]
+            sy = scene[3 * i + 1]
+            sz = scene[3 * i + 2]
+            radius = r3.ARM_LINK_RADIUS if i < n_pts - 1 else 0.035
+            t, nx, ny, nz = _hit_sphere(eye, dx, dy, dz, sx, sy, sz, radius)
+            st = _shade_composite(st, t, nx, ny, nz, seg_color[max(i - 1, 0)])
+
+        # Distractor spheres + kicked ball.
+        doff = off + n_buttons * 2
+        for i in range(n_distract):
+            sx = scene[doff + 3 * i]
+            sy = scene[doff + 3 * i + 1]
+            sz = scene[doff + 3 * i + 2]
+            t, nx, ny, nz = _hit_sphere(eye, dx, dy, dz, sx, sy, sz, 0.025)
+            st = _shade_composite(st, t, nx, ny, nz, r3.DISTRACTOR_COLOR)
+        if n_distract:
+            boff = doff + 3 * n_distract
+            t, nx, ny, nz = _hit_sphere(
+                eye, dx, dy, dz, scene[boff], scene[boff + 1],
+                scene[boff + 2], 0.03,
+            )
+            st = _shade_composite(st, t, nx, ny, nz, r3.BALL_COLOR)
+
+        _, r, g, b = st
+        out_ref[0, 0] = jnp.clip(r * 255.0 + 0.5, 0, 255)
+        out_ref[0, 1] = jnp.clip(g * 255.0 + 0.5, 0, 255)
+        out_ref[0, 2] = jnp.clip(b * 255.0 + 0.5, 0, 255)
+
+    return kernel
+
+
+@lru_cache(maxsize=8)
+def _camera_planes(which: str, height: int, width: int):
+    eye, dirs = r3._kuka_camera(which, height, width)
+    dirs = np.asarray(dirs, np.float32)
+    return (
+        tuple(float(v) for v in np.asarray(eye)),
+        dirs[..., 0], dirs[..., 1], dirs[..., 2],
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _render_batch(config, which, scene):
+    (n_buttons, n_pts, n_distract, z_table, base_radius, base_top,
+     cap_radius, cap_top, height, width) = config
+    eye, dx_np, dy_np, dz_np = _camera_planes(which, height, width)
+    kernel = _make_kernel(
+        eye, n_buttons, n_pts, n_distract, z_table, base_radius, base_top,
+        cap_radius, cap_top,
+    )
+    n = scene.shape[0]
+    n_blocks = height // BH
+    out = pl.pallas_call(
+        kernel,
+        # Env axis innermost: the ray-plane blocks depend only on the outer
+        # row-block index, so they stay VMEM-resident across envs.
+        grid=(n_blocks, n),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scene table
+            pl.BlockSpec((1, BH, width), lambda j, i: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BH, width), lambda j, i: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BH, width), lambda j, i: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, BH, width), lambda j, i: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 3, height, width), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )(
+        scene,
+        jnp.asarray(dx_np)[None], jnp.asarray(dy_np)[None],
+        jnp.asarray(dz_np)[None],
+    )
+    # [N, 3, H, W] -> [N, H, W, 3] uint8 (one cheap transpose pass).
+    return jnp.transpose(out, (0, 2, 3, 1)).astype(jnp.uint8)
+
+
+def _scene_table(env, states) -> tuple:
+    """Pack per-env scene params; returns (config, scene [N, S])."""
+    from srl_tpu.envs.kuka import (
+        BUTTON_BASE_RADIUS, BUTTON_BASE_TOP, BUTTON_CAP_RADIUS,
+        BUTTON_CAP_TOP, RENDER_HEIGHT, RENDER_WIDTH, Z_TABLE,
+    )
+    from srl_tpu.ops import kinematics as kin
+
+    def pts_of(q):
+        joint_pos, _, R, p_flange, p_tip = kin.fk(q)
+        base = jnp.asarray(kin.BASE_POS)
+        return jnp.concatenate(
+            [base[None], joint_pos, p_flange[None], p_tip[None]], axis=0
+        )
+
+    pts = jax.vmap(pts_of)(states.q)  # [N, n_pts, 3]
+    n = pts.shape[0]
+    n_pts = pts.shape[1]
+    cols = [pts.reshape(n, -1)]
+    cols.append(states.buttons[:, : env.n_buttons, :2].reshape(n, -1))
+    n_distract = 0
+    if env.rand_objects:
+        n_distract = states.distractors.shape[1]
+        cols.append(states.distractors.reshape(n, -1))
+        cols.append(states.ball[:, :3].reshape(n, -1))
+    scene = jnp.concatenate(cols, axis=1).astype(jnp.float32)
+    config = (
+        env.n_buttons, n_pts, n_distract, float(Z_TABLE),
+        float(BUTTON_BASE_RADIUS), float(BUTTON_BASE_TOP),
+        float(BUTTON_CAP_RADIUS), float(BUTTON_CAP_TOP),
+        RENDER_HEIGHT, RENDER_WIDTH,
+    )
+    return config, scene
+
+
+def render_kuka_pallas(env, states) -> jax.Array:
+    """Batched [N, H, W, 3] (or [..., 6] multi_view) uint8 Kuka render.
+
+    `states` must be a batched (vmapped-layout) KukaState.
+    """
+    config, scene = _scene_table(env, states)
+    img = _render_batch(config, "main", scene)
+    if env.multi_view:
+        img2 = _render_batch(config, "aux", scene)
+        return jnp.concatenate([img, img2], axis=-1)
+    return img
