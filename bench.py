@@ -144,8 +144,8 @@ def main():
             num_envs=2048,
             config=PPOConfig(n_steps=128),
         )
-        # Warm up one update (compile), then time 8 updates.
-        agent.learn(total_timesteps=128 * 2048, seed=0)
+        # Warm up with the same shape (compile), then time the cached call.
+        agent.learn(total_timesteps=128 * 2048 * 8, seed=0)
         t0 = time.perf_counter()
         agent.learn(total_timesteps=128 * 2048 * 8, seed=0)
         dt = time.perf_counter() - t0
