@@ -46,9 +46,10 @@ def _require_ros():
 # ---------------------------------------------------------------------------
 
 def rgb_to_hsv_u8(rgb: np.ndarray) -> np.ndarray:
-    """RGB uint8 [H,W,3] -> OpenCV-convention HSV: H in [0,180), S,V in
-    [0,255]. Needed so the reference's calibrated LOWER_RED/UPPER_RED
-    thresholds (constants.py:62-63) apply unchanged."""
+    """Uint8 [H,W,3] -> OpenCV-convention HSV: H in [0,180), S,V in
+    [0,255]. This is a *correct* channel-order-respecting conversion;
+    note that ``find_target`` deliberately feeds it a channel-swapped
+    frame to reproduce the reference's calibration quirk (see there)."""
     rgb = rgb.astype(np.float32) / 255.0
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     maxc = np.max(rgb, axis=-1)
@@ -98,12 +99,28 @@ def _binary_dilate(mask: np.ndarray, k: int) -> np.ndarray:
 def find_target(image: np.ndarray, lower=None, upper=None):
     """Locate the colour-calibrated target: HSV threshold, 2x erode(4),
     2x dilate(6), largest 4-connected component's centroid + area
-    (real_robobo_server.py:223-278). Returns (cx, cy, area, error)."""
+    (real_robobo_server.py:223-278). Returns (cx, cy, area, error).
+
+    Calibration quirk, reproduced deliberately: the reference calls
+    ``cv2.cvtColor(img, cv2.COLOR_BGR2HSV)`` on a frame that is actually
+    RGB (real_robobo_server.py:289 decodes "rgb8"), i.e. R and B are
+    swapped before the HSV conversion. The calibrated LOWER_RED/UPPER_RED
+    window H in [120,135] (constants.py:62-63) therefore selects *red*
+    targets only under that swap (pure red -> treated as blue -> H=120).
+    We feed the HSV conversion the channel-swapped frame so the carried-
+    over constants keep their calibrated meaning.
+
+    Area metric: the reference uses ``cv2.contourArea`` of the largest
+    contour, which for a filled region is close to
+    ``pixel_count - boundary_pixels/2`` (Green's-theorem polygon area vs
+    pixel count). We apply that correction so TARGET_INITIAL_AREA=3700
+    (calibrated against contourArea) keeps firing at the same physical
+    coverage."""
     from srl_tpu.real_robots.marker_finder import label_components
 
     lower = np.asarray(C.Robobo.LOWER_RED if lower is None else lower)
     upper = np.asarray(C.Robobo.UPPER_RED if upper is None else upper)
-    hsv = rgb_to_hsv_u8(image)
+    hsv = rgb_to_hsv_u8(image[..., ::-1])  # reference's BGR2HSV-on-RGB quirk
     mask = np.all((hsv >= lower) & (hsv <= upper), axis=-1).astype(np.uint8)
     for _ in range(2):
         mask = _binary_erode(mask, 4)
@@ -114,8 +131,12 @@ def find_target(image: np.ndarray, lower=None, upper=None):
         return 0, 0, 0.0, True
     areas = np.bincount(labels.ravel(), minlength=n + 1)[1:]
     best = int(np.argmax(areas)) + 1
-    ys, xs = np.nonzero(labels == best)
-    return int(xs.mean()), int(ys.mean()), float(areas[best - 1]), False
+    region = (labels == best).astype(np.uint8)
+    ys, xs = np.nonzero(region)
+    pixel_count = float(areas[best - 1])
+    boundary = pixel_count - float(_binary_erode(region, 3).sum())
+    area = max(pixel_count - boundary / 2.0, 0.0)  # ~cv2.contourArea
+    return int(xs.mean()), int(ys.mean()), area, False
 
 
 # ---------------------------------------------------------------------------
@@ -295,6 +316,38 @@ class RosRoboboRig:
         time.sleep(seconds)
 
 
+class _RosImageFeed:
+    """cv_bridge Image-topic subscriber holding the latest RGB frame
+    (the reference's ImageCallback pattern, real_robobo_server.py:283-317,
+    gazebo_server.py:25-63). ``get()`` blocks briefly until the first
+    frame arrives so episode 0 never observes an all-black image."""
+
+    def __init__(self, topic: str, timeout: float = 5.0):
+        import rospy
+        from cv_bridge import CvBridge
+        from sensor_msgs.msg import Image
+
+        self._bridge = CvBridge()
+        self._img = None
+        self._timeout = timeout
+        self._sub = rospy.Subscriber(topic, Image, self._cb, queue_size=1)
+
+    def _cb(self, msg):
+        try:
+            self._img = self._bridge.imgmsg_to_cv2(msg, "rgb8")
+        except Exception as exc:  # CvBridgeError
+            printRed(f"CvBridgeError: {exc}")
+
+    def get(self) -> np.ndarray:
+        deadline = time.time() + self._timeout
+        while self._img is None and time.time() < deadline:
+            time.sleep(0.05)
+        if self._img is None:
+            printRed("No camera frame received yet; returning zeros")
+            return np.zeros((224, 224, 3), np.uint8)
+        return self._img
+
+
 # ---------------------------------------------------------------------------
 # Server base: ZMQ PAIR loop speaking the reference protocol
 # ---------------------------------------------------------------------------
@@ -335,7 +388,14 @@ class RoboboServer(RobotServerBase):
         if rig is None:
             rig = RosRoboboRig()
         self.motion = RoboboMotion(rig)
-        self._get_image = get_image or self._ros_image
+        if get_image is None:
+            # Real run: subscribe to the camera topic like the reference's
+            # ImageCallback (real_robobo_server.py:311-317).
+            feed = _RosImageFeed(C.Robobo.IMAGE_TOPIC)
+            get_image = feed.get
+            if second_cam is None and C.Robobo.SECOND_CAM_TOPIC is not None:
+                second_cam = _RosImageFeed(C.Robobo.SECOND_CAM_TOPIC).get
+        self._get_image = get_image
         self._second_cam = second_cam
         self._data_folder = data_folder
         self._episode_idx = -1
@@ -347,15 +407,16 @@ class RoboboServer(RobotServerBase):
             rig.turn(self.motion.compute_time("right"), self.motion.SPEED)
         self.motion.init_yaw_north()
 
-    def _ros_image(self):
-        return getattr(self, "_last_img", np.zeros((224, 224, 3), np.uint8))
-
     def handle(self, msg):
         cfg = C.Robobo
         command = msg.get("command", "")
         has_bumped = False
         if command == "reset":
-            self.motion.position = [0, 0]
+            # The server cannot teleport the physical robot, so the tracked
+            # grid position deliberately survives resets — matching the
+            # reference's action-is-None reset path
+            # (real_robobo_server.py:346-350) where robobo.position is
+            # never reinitialised. Only episode bookkeeping resets.
             self._episode_idx += 1
             self._episode_step = 0
         elif command == "action":
@@ -416,7 +477,14 @@ def change_coordinate_system(point, origin, quaternion):
 class RosBaxterRig:
     """Baxter actuation through baxter_interface + IK. ``ik_move`` returns
     False when the IK service finds no solution — the server then keeps the
-    previous end-effector position (gazebo_server.py:127-137)."""
+    previous end-effector position (gazebo_server.py:127-137).
+
+    Sensing: subscribes to the robot camera (cfg.IMAGE_TOPIC) via
+    cv_bridge like the reference (gazebo_server.py:63,
+    real_baxter_server.py), and in Gazebo wires the simulated button
+    (arm_scenario_experiments Button.is_pressed / get_state,
+    gazebo_server.py:70-75) plus the Baxter base pose used to express the
+    button position in the base frame."""
 
     def __init__(self, cfg):
         import baxter_interface
@@ -424,6 +492,18 @@ class RosBaxterRig:
         self.cfg = cfg
         self.arm = baxter_interface.Limb("left")
         self._ee = np.array(cfg.LEFT_ARM_INIT_POS, np.float64)
+        self._camera = _RosImageFeed(cfg.IMAGE_TOPIC)
+        # Gazebo-only instrumented button + baxter model state
+        # (gazebo_server.py:70-75); absent on the physical robot.
+        self._button = None
+        self._baxter_model = None
+        try:
+            from arm_scenario_experiments import Button
+
+            self._button = Button("button1")
+            self._baxter_model = Button("baxter")
+        except ImportError:
+            pass
 
     def ee_position(self):
         return self._ee.copy()
@@ -450,17 +530,35 @@ class RosBaxterRig:
         if not rs.state().enabled:
             rs.enable()
 
-    def button_pressed(self) -> bool:  # Gazebo only
+    def button_pressed(self) -> bool:
+        """Simulated button state in Gazebo (gazebo_server.py:152);
+        False on a physical Baxter, which has no instrumented button."""
+        if self._button is not None:
+            return bool(self._button.is_pressed())
         return False
 
     def button_position(self):
+        if self._button is not None:
+            p = self._button.get_state().pose.position
+            return np.array([p.x, p.y, p.z], np.float64)
         return np.array(getattr(self.cfg, "BUTTON_POS", [0.7, 0.1, self.cfg.Z_TABLE]))
 
     def base_pose(self):
+        """Baxter base (position, quaternion) from the Gazebo model state
+        (gazebo_server.py:74-79); identity for a physical robot whose
+        base frame IS the world frame of the calibration."""
+        if self._baxter_model is not None:
+            pose = self._baxter_model.get_state().pose
+            pos = np.array([pose.position.x, pose.position.y, pose.position.z])
+            quat = np.array([
+                pose.orientation.x, pose.orientation.y,
+                pose.orientation.z, pose.orientation.w,
+            ])
+            return pos, quat
         return np.zeros(3), np.array([0.0, 0.0, 0.0, 1.0])
 
     def image(self):
-        return np.zeros((224, 224, 3), np.uint8)
+        return self._camera.get()
 
 
 class BaxterServerBase(RobotServerBase):

@@ -277,11 +277,13 @@ def test_robobo_motion_grid_and_timing():
 
 
 def _target_image(size=64, blob=12):
-    """RGB image with a blue-ish blob matching the calibrated HSV window
-    (H 120-135 in OpenCV convention = 240-270 degrees)."""
+    """RGB image with a saturated *red* blob. find_target reproduces the
+    reference's BGR2HSV-on-RGB calibration quirk, under which pure red
+    lands in the calibrated H in [120,135] window (a swapped-channel red
+    is blue, whose true hue is 240 deg = OpenCV H 120)."""
     img = np.zeros((size, size, 3), np.uint8)
     img[..., :] = (40, 40, 40)
-    img[10:10 + blob, 20:20 + blob] = (60, 0, 255)  # saturated blue
+    img[10:10 + blob, 20:20 + blob] = (255, 0, 60)  # saturated red
     return img
 
 
