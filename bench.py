@@ -153,6 +153,28 @@ def main():
     except Exception:
         pass
 
+    # Full PPO training loop FROM PIXELS: per-step 224x224x3 Kuka render +
+    # Nature-CNN policy + 4x4 minibatch update, all fused in one jit — the
+    # reference's raw_pixels pipeline (README.md:5 headline, CnnPolicy
+    # selection base_classes.py:227-235) whose env side alone ran at
+    # 250 FPS.
+    try:
+        from srl_tpu.agents.ppo import PPO2, PPOConfig
+        from srl_tpu.envs.kuka import KukaButtonEnv
+
+        agent = PPO2(
+            env=KukaButtonEnv(srl_model="raw_pixels"),
+            num_envs=64,
+            config=PPOConfig(n_steps=128),
+        )
+        agent.learn(total_timesteps=128 * 64 * 2, seed=0)  # compile+warm
+        t0 = time.perf_counter()
+        agent.learn(total_timesteps=128 * 64 * 4, seed=0)
+        dt = time.perf_counter() - t0
+        parts["ppo2_training_full_loop_pixels"] = 128 * 64 * 4 / dt
+    except Exception:
+        pass
+
     value = total_steps / total_time
     print(
         json.dumps(

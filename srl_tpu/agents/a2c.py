@@ -262,3 +262,215 @@ class A2C(BaseRLAgent):
             obs_norm=obs_norm, key=jax.random.PRNGKey(0), update_idx=jnp.int32(0),
         )
         return agent
+
+
+class RecurrentA2C(A2C):
+    """A2C with an lstm/lnlstm/cnnlstm policy.
+
+    The reference hands recurrent stable-baselines policies to every
+    actor-critic algo through the shared policy selector
+    (base_classes.py:227-246); A2C is its other everyday on-policy
+    algorithm (rl_algorithm/a2c.py:39-56). Semantics match
+    stable-baselines' recurrent A2C: the rollout carries hidden state
+    (zeroed at episode boundaries via the `done` mask) and the single
+    full-batch gradient step re-runs the LSTM over the whole [T, N]
+    segment from the stored initial hidden state, so gradients flow
+    through time (truncated BPTT over n_steps)."""
+
+    def __init__(self, env=None, num_envs: int = 16, policy: str = "lstm",
+                 config: A2CConfig = None, normalize_obs: Optional[bool] = None):
+        from srl_tpu.models.recurrent import make_recurrent_policy
+
+        BaseRLAgent.__init__(self)
+        self.env = env
+        self.num_envs = num_envs
+        self.config = config or A2CConfig()
+        self.policy_kind = policy
+        if env is not None:
+            self.vec_env = VecEnv(env, num_envs)
+            self.policy = make_recurrent_policy(env.action_space, policy)
+            if normalize_obs is None:
+                normalize_obs = env.srl_model != "raw_pixels"
+            self.normalize_obs = normalize_obs
+            self._tx = None
+
+    def init_state(self, key: jax.Array, n_updates: int = 1000):
+        from srl_tpu.agents.recurrent_ppo import RecurrentPPOState
+
+        key, k_env, k_p = jax.random.split(key, 3)
+        vstate, obs = self.vec_env.reset(k_env)
+        done0 = jnp.zeros(self.num_envs, bool)
+        lstm0 = (jnp.zeros((self.num_envs, self.policy.n_lstm)),
+                 jnp.zeros((self.num_envs, self.policy.n_lstm)))
+        params = self.policy.init(k_p, obs, lstm0, done0)
+        self._tx = self._make_optimizer(n_updates)
+        obs_norm = (
+            RunningNorm.create(self.env.observation_space.shape)
+            if self.normalize_obs else None
+        )
+        return RecurrentPPOState(
+            params=params, opt_state=self._tx.init(params), vstate=vstate,
+            obs=obs, done=done0, lstm_state=lstm0, obs_norm=obs_norm,
+            key=key, update_idx=jnp.int32(0),
+        )
+
+    def train_iteration(self, state):
+        from srl_tpu.agents.recurrent_ppo import RecurrentPPOState
+
+        cfg = self.config
+        key, k_roll = jax.random.split(state.key)
+        init_lstm = state.lstm_state
+
+        def body(carry, k_step):
+            vstate, obs, done, lstm_state, obs_norm = carry
+            if obs_norm is not None:
+                obs_norm = obs_norm.update(obs)
+                norm_obs = obs_norm.normalize(obs)
+            else:
+                norm_obs = obs
+            dist, value, new_lstm = self.policy.apply(
+                state.params, norm_obs, lstm_state, done
+            )
+            action = dist.sample(k_step)
+            vstate, tr = self.vec_env.step(vstate, action)
+            out = (norm_obs, done, action, value, tr.reward, tr.done,
+                   tr.episode_return, tr.episode_length)
+            return (vstate, tr.obs, tr.done, new_lstm, obs_norm), out
+
+        step_keys = jax.random.split(k_roll, cfg.n_steps)
+        (vstate, obs, done, lstm_state, obs_norm), (
+            b_obs, b_done_in, b_act, b_val, b_rew, b_done_out, ep_ret, ep_len,
+        ) = jax.lax.scan(
+            body,
+            (state.vstate, state.obs, state.done, init_lstm, state.obs_norm),
+            step_keys,
+        )
+
+        last_norm = obs_norm.normalize(obs) if obs_norm is not None else obs
+        _, last_value, _ = self.policy.apply(
+            state.params, last_norm, lstm_state, done
+        )
+        # A2C: discounted returns, no GAE (lambda = 1).
+        advantages, returns = compute_gae(
+            b_rew, b_val, b_done_out, last_value, cfg.gamma, 1.0
+        )
+
+        def loss_fn(params):
+            def scan_policy(lstm, inp):
+                o, d = inp
+                dist, v, lstm = self.policy.apply(params, o, lstm, d)
+                return lstm, (dist, v)
+
+            _, (dists, vpred) = jax.lax.scan(
+                scan_policy, init_lstm, (b_obs, b_done_in)
+            )
+            logp = dists.log_prob(b_act)
+            adv = jax.lax.stop_gradient(advantages)
+            pg_loss = -jnp.mean(adv * logp)
+            vf_loss = jnp.mean(jnp.square(vpred - returns))
+            entropy = jnp.mean(dists.entropy())
+            total = pg_loss + cfg.vf_coef * vf_loss - cfg.ent_coef * entropy
+            return total, {"pg_loss": pg_loss, "vf_loss": vf_loss,
+                           "entropy": entropy}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = self._tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        metrics = dict(aux)
+        metrics["explained_variance"] = explained_variance(
+            b_val.reshape(-1), returns.reshape(-1)
+        )
+        metrics["episode_return"] = ep_ret
+        metrics["episode_length"] = ep_len
+        metrics["mean_reward_per_step"] = jnp.mean(b_rew)
+
+        return (
+            RecurrentPPOState(
+                params=params, opt_state=opt_state, vstate=vstate, obs=obs,
+                done=done, lstm_state=lstm_state, obs_norm=obs_norm, key=key,
+                update_idx=state.update_idx + 1,
+            ),
+            metrics,
+        )
+
+    # ---- acting (stateful LSTM, as RecurrentPPO2) ------------------------
+    def getAction(self, observation, dones=None, deterministic=False, key=None):
+        obs = jnp.asarray(observation)
+        n = obs.shape[0]
+        if not hasattr(self, "_act_lstm") or self._act_lstm[0].shape[0] != n:
+            self._act_lstm = (jnp.zeros((n, self.policy.n_lstm)),
+                              jnp.zeros((n, self.policy.n_lstm)))
+        if self.state.obs_norm is not None:
+            obs = self.state.obs_norm.normalize(obs)
+        done = (jnp.zeros(n, bool) if dones is None
+                else jnp.asarray(dones, bool))
+        dist, _, self._act_lstm = self.policy.apply(
+            self.state.params, obs, self._act_lstm, done
+        )
+        if deterministic:
+            return np.asarray(dist.mode())
+        if key is None:
+            key = self._next_act_key()
+        return np.asarray(dist.sample(key))
+
+    def getActionProba(self, observation, dones=None):
+        obs = jnp.asarray(observation)
+        n = obs.shape[0]
+        lstm = (jnp.zeros((n, self.policy.n_lstm)),
+                jnp.zeros((n, self.policy.n_lstm)))
+        if self.state.obs_norm is not None:
+            obs = self.state.obs_norm.normalize(obs)
+        dist, _, _ = self.policy.apply(
+            self.state.params, obs, lstm, jnp.zeros(n, bool)
+        )
+        if isinstance(self.env.action_space, Discrete):
+            return np.asarray(dist.probs())
+        return np.asarray(dist.mean)
+
+    def save(self, save_path: str, _locals=None):
+        self._save_pickle(
+            save_path,
+            {
+                "name": "a2c_lstm",
+                "config": dataclasses.asdict(self.config),
+                "num_envs": self.num_envs,
+                "policy_kind": self.policy_kind,
+                "normalize_obs": self.normalize_obs,
+                "params": self._to_numpy(self.state.params),
+                "obs_norm": (
+                    self._to_numpy(
+                        {"mean": self.state.obs_norm.mean,
+                         "var": self.state.obs_norm.var,
+                         "count": self.state.obs_norm.count}
+                    )
+                    if self.state.obs_norm is not None else None
+                ),
+            },
+        )
+
+    @classmethod
+    def load(cls, load_path: str, env=None, args=None) -> "RecurrentA2C":
+        from srl_tpu.agents.recurrent_ppo import RecurrentPPOState
+
+        d = cls._load_pickle(load_path)
+        agent = cls(
+            env=env, num_envs=d["num_envs"], policy=d["policy_kind"],
+            config=A2CConfig(**d["config"]), normalize_obs=d["normalize_obs"],
+        )
+        obs_norm = None
+        if d["obs_norm"] is not None:
+            obs_norm = RunningNorm(
+                mean=jnp.asarray(d["obs_norm"]["mean"]),
+                var=jnp.asarray(d["obs_norm"]["var"]),
+                count=jnp.asarray(d["obs_norm"]["count"]),
+            )
+        agent.state = RecurrentPPOState(
+            params=jax.tree.map(jnp.asarray, d["params"]), opt_state=None,
+            vstate=None, obs=None, done=None, lstm_state=None,
+            obs_norm=obs_norm, key=jax.random.PRNGKey(0),
+            update_idx=jnp.int32(0),
+        )
+        return agent

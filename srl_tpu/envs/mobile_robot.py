@@ -84,6 +84,7 @@ class MobileRobotEnv(TpuEnv):
         max_steps: int = None,
         fpv: bool = False,
         state_dim: int = -1,
+        render_shape: Tuple[int, int] = (RENDER_HEIGHT, RENDER_WIDTH),
     ):
         assert dim in (1, 2)
         if dim == 1 or n_targets > 1:
@@ -99,6 +100,10 @@ class MobileRobotEnv(TpuEnv):
         self.relative_pos = True  # RELATIVE_POS, mobile_robot_env.py:21
         self.fpv = fpv
         self.state_dim = state_dim
+        # (H, W) of rendered observations. 224x224 matches the reference
+        # (mobile_robot_env.py:24-25); smaller shapes trade fidelity for
+        # throughput (tests, low-res+upsample render paths).
+        self.render_shape = tuple(render_shape)
         if max_steps is None:
             max_steps = MAX_STEPS_2TARGET if n_targets > 1 else MAX_STEPS
         self.max_steps = max_steps
@@ -125,7 +130,7 @@ class MobileRobotEnv(TpuEnv):
     def observation_space(self) -> Space:
         if self.srl_model == "raw_pixels":
             channels = 6 if self.fpv else 3
-            return Box(0, 255, (RENDER_HEIGHT, RENDER_WIDTH, channels), np.uint8)
+            return Box(0, 255, self.render_shape + (channels,), np.uint8)
         return Box(-np.inf, np.inf, (self.ground_truth_dim_(),))
 
     def ground_truth_dim_(self) -> int:

@@ -355,15 +355,22 @@ def main(argv=None):
     if num_envs is None:
         num_envs = 16
 
-    # Recurrent policy variants route ppo2 to the LSTM implementation
+    # Recurrent policy variants route to the LSTM implementations
     # (the reference's policy selection, base_classes.py:227-246).
     if "lstm" in args.policy:
-        assert args.algo == "ppo2", (
-            "Error: recurrent policies are currently supported for ppo2"
-        )
-        from srl_tpu.agents.recurrent_ppo import RecurrentPPO2
+        if args.algo == "ppo2":
+            from srl_tpu.agents.recurrent_ppo import RecurrentPPO2
 
-        algo_class = RecurrentPPO2
+            algo_class = RecurrentPPO2
+        elif args.algo == "a2c":
+            from srl_tpu.agents.a2c import RecurrentA2C
+
+            algo_class = RecurrentA2C
+        else:
+            raise AssertionError(
+                "Error: recurrent policies are currently supported for "
+                "ppo2 and a2c"
+            )
 
     kwargs = {}
     sig = inspect.signature(algo_class.__init__)

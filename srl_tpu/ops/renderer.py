@@ -85,51 +85,77 @@ def _mobile_robot_static(dim: int, height: int, width: int):
     return grid, bg.astype(np.float32)
 
 
+def _color_u8(c) -> np.ndarray:
+    """Quantize a linear color exactly as the legacy float path's final
+    ``clip(img*255+0.5)`` did, so uint8 compositing is bit-identical."""
+    return np.clip(np.asarray(c, np.float32) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+
+@lru_cache(maxsize=16)
+def _mobile_robot_static_u8(dim: int, height: int, width: int):
+    """(grid float32 [H,W,2], background uint8 [H,W,3]).
+
+    The background is pre-quantized to uint8 so the per-step composite
+    reads 150 KB instead of 600 KB per 224^2 frame — the sprite pass is
+    HBM-bandwidth-bound, so the dtype of the resident image is the main
+    cost lever (see PARITY.md roofline notes)."""
+    grid, bg = _mobile_robot_static(dim, height, width)
+    return grid, _color_u8(bg)
+
+
 def render_mobile_robot(env, state) -> jax.Array:
-    """uint8 [H, W, 3] image for one env state (vmap over the batch)."""
+    """uint8 [H, W, 3] image for one env state (vmap over the batch).
+
+    All compositing happens in uint8: the static background is quantized
+    once per config, dynamic sprites (target disks, robot chassis, wheel
+    pads) are `where`-selected as uint8 constants. Masks are computed in
+    float32 from the precomputed ground-intersection grid; XLA fuses the
+    whole select chain into one elementwise kernel, so per-frame HBM
+    traffic is ~(grid 2xf32 + bg u8 + out u8) instead of the legacy
+    float path's 3x-larger float image stream."""
     from srl_tpu.envs.mobile_robot import RENDER_HEIGHT, RENDER_WIDTH
 
-    grid_np, bg_np = _mobile_robot_static(env.dim, RENDER_HEIGHT, RENDER_WIDTH)
+    h, w = getattr(env, "render_shape", (RENDER_HEIGHT, RENDER_WIDTH))
+    grid_np, bg_u8 = _mobile_robot_static_u8(env.dim, h, w)
     grid = jnp.asarray(grid_np)
-    img = jnp.asarray(bg_np)
+    img = jnp.asarray(bg_u8)
     x = grid[..., 0]
     y = grid[..., 1]
 
     def paint_disk(img, center, radius, color):
         d2 = jnp.square(x - center[0]) + jnp.square(y - center[1])
         mask = d2 <= radius * radius
-        return jnp.where(mask[..., None], jnp.asarray(color)[None, None], img)
+        return jnp.where(mask[..., None], jnp.asarray(_color_u8(color)), img)
 
-    def paint_box(img, center, hx, hy, color):
-        mask = (jnp.abs(x - center[0]) <= hx) & (jnp.abs(y - center[1]) <= hy)
-        return jnp.where(mask[..., None], jnp.asarray(color)[None, None], img)
+    def paint_mask(img, mask, color):
+        return jnp.where(mask[..., None], jnp.asarray(_color_u8(color)), img)
+
+    def box_mask(center, hx, hy):
+        return (jnp.abs(x - center[0]) <= hx) & (jnp.abs(y - center[1]) <= hy)
 
     # Targets.
     if env.line_target:
         # Yellow wall band spanning y at the target x
         # (mobile_robot_line_target_env.py:62-65).
         tx = state.targets[0, 0]
-        img = paint_box(img, (tx, 2.0), LINE_TARGET_HALF_W, 2.0, TARGET_YELLOW)
+        img = paint_mask(img, box_mask((tx, 2.0), LINE_TARGET_HALF_W, 2.0), TARGET_YELLOW)
     else:
         img = paint_disk(img, state.targets[0], TARGET_RADIUS, TARGET_YELLOW)
         if env.n_targets > 1:
             # Second target rendered red (mobile_robot_2target_env.py:70-71).
             img = paint_disk(img, state.targets[1], TARGET_RADIUS, TARGET_RED)
 
-    # Robot: racecar chassis + four wheel pads.
+    # Robot: racecar chassis + four wheel pads. The four pads sit at
+    # (+-0.22, +-ROBOT_HALF_W) relative to the chassis, so one folded
+    # |.|-symmetric mask covers all four in a single select.
     rp = state.robot_pos
-    img = paint_box(img, rp, ROBOT_HALF_L, ROBOT_HALF_W, ROBOT_BODY)
-    for sx in (-0.22, 0.22):
-        for sy in (-1.0, 1.0):
-            img = paint_box(
-                img,
-                (rp[0] + sx, rp[1] + sy * ROBOT_HALF_W),
-                0.08,
-                0.03,
-                ROBOT_WHEEL,
-            )
+    img = paint_mask(img, box_mask(rp, ROBOT_HALF_L, ROBOT_HALF_W), ROBOT_BODY)
+    wheel_mask = (jnp.abs(jnp.abs(x - rp[0]) - 0.22) <= 0.08) & (
+        jnp.abs(jnp.abs(y - rp[1]) - ROBOT_HALF_W) <= 0.03
+    )
+    img = paint_mask(img, wheel_mask, ROBOT_WHEEL)
 
-    out = jnp.clip(img * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    out = img
     if env.fpv:
         # First-person second camera (mobile_robot_env.py:315-332).
         out = jnp.concatenate([out, render_mobile_robot_fpv(env, state)], axis=-1)
@@ -159,7 +185,8 @@ def render_mobile_robot_fpv(env, state) -> jax.Array:
     from srl_tpu.envs.mobile_robot import RENDER_HEIGHT, RENDER_WIDTH
     from srl_tpu.ops import renderer3d as r3
 
-    fwd_np, dirs_np = _fpv_rays(RENDER_HEIGHT, RENDER_WIDTH)
+    h, w = getattr(env, "render_shape", (RENDER_HEIGHT, RENDER_WIDTH))
+    fwd_np, dirs_np = _fpv_rays(h, w)
     dirs = jnp.asarray(dirs_np)
     rp = state.robot_pos
     # cameraTargetPosition=(x-0.25, y, 0.15), distance 0.3

@@ -21,6 +21,19 @@ import jax  # noqa: E402
 # virtual 8-device CPU platform.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: JAX compile time dominates the smoke tiers
+# (the fast tier is mostly tracing+XLA-compiling tiny graphs), so cache
+# compiled executables across runs. Keyed by jaxlib version internally, so
+# stale entries are never replayed. Override the location with
+# JAX_TEST_CACHE_DIR; CI restores/saves it via actions/cache.
+_cache_dir = os.environ.get(
+    "JAX_TEST_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import pytest  # noqa: E402
 
 

@@ -70,6 +70,43 @@ def test_recurrent_ppo_lnlstm_variant():
 
 
 @pytest.mark.fast
+def test_recurrent_a2c_smoke(tmp_path):
+    from srl_tpu.agents.a2c import A2CConfig, RecurrentA2C
+
+    env = MobileRobotEnv(max_steps=30)
+    agent = RecurrentA2C(env=env, num_envs=4, policy="lstm",
+                         config=A2CConfig(n_steps=8))
+    state = agent.learn(total_timesteps=8 * 4 * 3, seed=0)
+    assert int(state.update_idx) == 3
+
+    obs = np.zeros((2, 2), np.float32)
+    a1 = agent.getAction(obs, deterministic=True)
+    assert a1.shape == (2,)
+    p = agent.getActionProba(obs)
+    np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-5)
+
+    path = str(tmp_path / "a2c_lstm.pkl")
+    agent.save(path)
+    loaded = RecurrentA2C.load(path, env=MobileRobotEnv())
+    np.testing.assert_allclose(loaded.getActionProba(obs), p, atol=1e-6)
+
+
+@pytest.mark.fast
+def test_train_cli_a2c_lstm_policy(tmp_path):
+    import os
+
+    from srl_tpu.experiments.train import main as train_main
+
+    log_dir = train_main([
+        "--algo", "a2c", "--env", "MobileRobotGymEnv-v0",
+        "--srl-model", "ground_truth", "--policy", "lstm",
+        "--num-timesteps", "200", "--log-dir", str(tmp_path),
+        "--num-envs", "4", "--no-vis",
+    ])
+    assert os.path.exists(os.path.join(log_dir, "args.json"))
+
+
+@pytest.mark.fast
 def test_recurrent_requires_divisible_envs():
     from srl_tpu.agents.recurrent_ppo import RecurrentPPO2
     from srl_tpu.agents.ppo import PPOConfig

@@ -79,6 +79,63 @@ def test_ddpg_learns_continuous():
 
 
 @pytest.mark.slow
+def test_cnn_learns_from_pixels():
+    """The toolbox's reason to exist: RL from pixels. A Nature-CNN PPO2
+    on MobileRobot raw_pixels (rendered on device, 48x48 to keep the CPU
+    test budget sane; the task is identical at any resolution) must beat
+    its starting window. Matches the reference's raw_pixels CnnPolicy
+    pipeline (base_classes.py:227-235, README.md:5)."""
+    from srl_tpu.agents.ppo import PPO2, PPOConfig
+
+    env = MobileRobotEnv(srl_model="raw_pixels", render_shape=(48, 48))
+    agent = PPO2(env=env, num_envs=16, config=PPOConfig(n_steps=128))
+    assert agent.policy.torso == "cnn"
+    windows = []
+
+    def cb(l, g):
+        if len(l["episode_returns"]) >= 10:
+            windows.append(np.mean(l["episode_returns"][-10:]))
+
+    agent.learn(total_timesteps=150_000, seed=0, callback=cb)
+    assert windows, "no episodes finished"
+    w = np.asarray(windows)
+    k = max(3, len(w) // 5)
+    early, late = float(w[:k].mean()), float(w[-k:].mean())
+    assert late > early + 20, f"cnn-pixels: early={early:.1f} late={late:.1f}"
+
+
+@pytest.mark.slow
+def test_kuka_ppo2_learns():
+    """Flagship-env learning pin: PPO2 on KukaButtonGymEnv-v0 ground_truth
+    must reach clearly positive reward windows (random policies hover at or
+    below 0: -1 for drifting out of max_distance / table contact, +1 only
+    on button-cap contact, 5 contacts to terminate —
+    kuka_button_gym_env.py:428-463). This pins the analytic IK/contact
+    redesign's reward landscape as actually learnable, not just
+    geometrically plausible."""
+    from srl_tpu.agents.ppo import PPO2, PPOConfig
+    from srl_tpu.envs.kuka import KukaButtonEnv
+
+    env = KukaButtonEnv(srl_model="ground_truth")
+    agent = PPO2(env=env, num_envs=32, config=PPOConfig(n_steps=128))
+    windows = []
+
+    def cb(l, g):
+        if len(l["episode_returns"]) >= 10:
+            windows.append(np.mean(l["episode_returns"][-10:]))
+
+    agent.learn(total_timesteps=400_000, seed=0, callback=cb)
+    assert windows, "no Kuka episodes finished"
+    w = np.asarray(windows)
+    k = max(3, len(w) // 5)
+    early, late = float(w[:k].mean()), float(w[-k:].mean())
+    assert late > max(early + 1.0, 1.0), (
+        f"kuka-ppo2: early={early:.2f} late={late:.2f} — reward landscape "
+        "not learnable"
+    )
+
+
+@pytest.mark.slow
 def test_cmaes_learns_linear_task():
     early, late, _ = run_learning("cma-es", MobileRobot1DEnv(), 200_000)
     assert late > early + 20, f"cma-es: early={early:.1f} late={late:.1f}"
