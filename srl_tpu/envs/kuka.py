@@ -79,6 +79,17 @@ BUTTON_YMAX = 0.3
 # Rand-button variant (kuka_rand_button_gym_env.py).
 N_DISTRACTORS = 10
 BALL_FORCE_SPEED = 0.004  # ball roll per step after the kick
+# Physical footprints of the distractor bodies: the reference loads them as
+# dynamic PyBullet bodies the arm/ball can shove around
+# (kuka_rand_button_gym_env.py:60-69 duck/lego/cube, :117-127 kicked
+# sphere). Radii approximate the reference meshes' footprints.
+DISTRACTOR_RADIUS = 0.05
+# Tallest distractor (the duck mesh is ~8 cm): the finger tip's lowest
+# reachable point (workspace-clipped, ~Z_TABLE+0.068) must be able to
+# engage the bodies, as the PyBullet fingers do.
+DISTRACTOR_TOP = Z_TABLE + 0.08
+BALL_RADIUS = 0.03
+TIP_RADIUS = 0.02  # finger-tip contact radius for object pushback
 
 # Static gripper joint values (kuka.py:65-66, joints 7-13) for the
 # 14-dim "joints" observation mode.
@@ -102,8 +113,8 @@ class KukaState:
     n_steps_outside: jax.Array  # int32
     step_count: jax.Array  # int32
     terminated: jax.Array  # bool
-    distractors: jax.Array  # [n_distractors, 3] (pos; rendering only)
-    ball: jax.Array  # [6] pos+vel (rendering only)
+    distractors: jax.Array  # [n_distractors, 3] pushable bodies (pos)
+    ball: jax.Array  # [6] pos+vel — kicked sphere, collides with tip/objects
 
 
 @lru_cache(maxsize=1)
@@ -228,8 +239,9 @@ class KukaButtonEnv(TpuEnv):
         buttons = self._sample_buttons(k_btn)
 
         # Distractor objects on the table (kuka_rand_button_gym_env.py:60-69);
-        # rendering-only; rejected placements (inside the button box) are
-        # dropped below the table.
+        # physical pushable bodies (see the contact block in step);
+        # rejected placements (inside the button box) are dropped below the
+        # table and stay inert.
         if self._n_distract > 0:
             u = jax.random.uniform(k_obj, (self._n_distract, 2), minval=-1.0, maxval=1.0)
             xy = jnp.array([0.5, 0.0]) + jnp.array([0.15, 0.3]) * u
@@ -359,17 +371,60 @@ class KukaButtonEnv(TpuEnv):
 
         step_count = state.step_count + self.action_repeat
 
-        # Ball kick at step 10 (kuka_rand_button_gym_env.py:117-127) +
-        # constant-velocity roll; rendering-only.
+        # Physical distractor interactions. In the reference these are
+        # dynamic PyBullet bodies: a sphere kicked by a random force at step
+        # 10 (kuka_rand_button_gym_env.py:117-127) and 10 table objects the
+        # arm (and ball) can collide with (:60-69). Here: the same
+        # position-projection contact model the arm itself uses — an
+        # overlapping body is shoved out of penetration along the contact
+        # normal, and the ball transfers its momentum on impact.
         ball = state.ball
+        distractors = state.distractors
         if self.rand_objects:
             kick = step_count == 10
             k_kick, key = jax.random.split(key)
             direction = jnp.abs(jax.random.normal(k_kick, (2,)))
             direction = direction / (jnp.linalg.norm(direction) + 1e-8)
             vel = jnp.where(kick, direction * BALL_FORCE_SPEED, ball[3:5])
+            # Tip-vs-ball: a low finger tip overlapping the sphere kicks it
+            # along the tip->ball direction (the arm can play with the ball
+            # exactly as in the PyBullet scene).
+            rel_tb = ball[:2] - tip[:2]
+            d_tb = jnp.linalg.norm(rel_tb)
+            tip_low_ball = tip[2] <= Z_TABLE + 2 * BALL_RADIUS + CONTACT_EPS
+            tip_hits_ball = (d_tb <= BALL_RADIUS + TIP_RADIUS) & tip_low_ball
+            vel = jnp.where(
+                tip_hits_ball,
+                rel_tb / jnp.maximum(d_tb, 1e-6) * BALL_FORCE_SPEED,
+                vel,
+            )
             pos = ball[:3].at[:2].add(vel)
             ball = jnp.concatenate([pos, vel, ball[5:6]])
+
+            # Pushback of table objects by the tip and the rolling ball.
+            # Rejected placements (dropped below the table at reset) and
+            # already-settled objects only move when something shoves them.
+            on_table = distractors[:, 2] > Z_TABLE
+
+            def push_from(xy, center_xy, radius, active):
+                rel = xy - center_xy[None]
+                d = jnp.linalg.norm(rel, axis=1)
+                overlap = (d < radius + DISTRACTOR_RADIUS) & on_table & active
+                dirn = rel / jnp.maximum(d, 1e-6)[:, None]
+                target = center_xy[None] + dirn * (radius + DISTRACTOR_RADIUS)
+                return jnp.where(overlap[:, None], target, xy), overlap
+
+            tip_low = tip[2] <= DISTRACTOR_TOP + CONTACT_EPS
+            d_xy, _ = push_from(
+                distractors[:, :2], tip[:2], TIP_RADIUS, tip_low
+            )
+            d_xy, ball_hit = push_from(
+                d_xy, ball[:2], BALL_RADIUS, jnp.bool_(True)
+            )
+            distractors = distractors.at[:, :2].set(d_xy)
+            # Momentum transfer: the ball stops when it knocks an object.
+            vel = jnp.where(jnp.any(ball_hit), 0.0, vel)
+            ball = jnp.concatenate([ball[:3], vel, ball[5:6]])
 
         # ---- contacts & reward (kuka_button_gym_env.py:428-463 /
         #      kuka_2button_gym_env.py:151-198) ----
@@ -463,6 +518,7 @@ class KukaButtonEnv(TpuEnv):
             n_steps_outside=n_steps_outside,
             step_count=step_count,
             terminated=terminated,
+            distractors=distractors,
             ball=ball,
         )
         return new_state, reward.astype(jnp.float32), done

@@ -409,6 +409,26 @@ def main(argv=None):
                              resume_meta=resume_meta)
 
     # 1.1x inflation so the last save interval fits (train.py:319).
+    # Live curve server (the reference's visdom windows, train.py:162-167):
+    # browse http://localhost:{args.port} while the run trains. A busy port
+    # (parallel runs, pipelines) skips silently — vis never kills training.
+    live_server = None
+    if not args.no_vis:
+        try:
+            from srl_tpu.experiments.live_vis import LiveVisServer
+
+            live_server = LiveVisServer(
+                log_dir, port=args.port, window=args.episode_window
+            )
+            if live_server.start():
+                printGreen(
+                    f"Live curves: http://localhost:{args.port}"
+                )
+            else:
+                live_server = None
+        except Exception:
+            live_server = None
+
     total = int(args.num_timesteps * 1.1)
     if resume_meta is not None:
         done = int(resume_meta.get("num_timesteps", 0))
@@ -440,6 +460,8 @@ def main(argv=None):
     final_path = os.path.join(log_dir, f"{args.algo}_final_model.pkl")
     agent.save(final_path)
     monitor.close()
+    if live_server is not None:
+        live_server.stop()
 
     if not args.no_vis:
         try:

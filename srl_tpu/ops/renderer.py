@@ -106,29 +106,36 @@ def _mobile_robot_static_u8(dim: int, height: int, width: int):
 def render_mobile_robot(env, state) -> jax.Array:
     """uint8 [H, W, 3] image for one env state (vmap over the batch).
 
-    All compositing happens in uint8: the static background is quantized
-    once per config, dynamic sprites (target disks, robot chassis, wheel
-    pads) are `where`-selected as uint8 constants. Masks are computed in
-    float32 from the precomputed ground-intersection grid; XLA fuses the
-    whole select chain into one elementwise kernel, so per-frame HBM
-    traffic is ~(grid 2xf32 + bg u8 + out u8) instead of the legacy
-    float path's 3x-larger float image stream."""
+    Storage is uint8, compute is float32: the static background is
+    pre-quantized to uint8 once per config (150 KB resident vs 600 KB as
+    float), converted to f32 *inside* the fused kernel, sprite selects
+    (target disks, robot chassis, wheel pads) run on exact-integer f32
+    values, and the final cast back to uint8 truncates exactly. XLA fuses
+    the whole chain, so the intermediates never touch HBM — per-frame
+    traffic is ~(grid 2xf32 + bg u8 + out u8), ~2x less than the legacy
+    all-float path. (A pure-uint8 select chain is NOT used: it triggers
+    pathological XLA compile times inside lax.scan on TPU — >500 s vs
+    ~40 s — measured 2026-08-20 on v5e.)"""
     from srl_tpu.envs.mobile_robot import RENDER_HEIGHT, RENDER_WIDTH
 
     h, w = getattr(env, "render_shape", (RENDER_HEIGHT, RENDER_WIDTH))
     grid_np, bg_u8 = _mobile_robot_static_u8(env.dim, h, w)
     grid = jnp.asarray(grid_np)
-    img = jnp.asarray(bg_u8)
+    img = jnp.asarray(bg_u8).astype(jnp.float32)
     x = grid[..., 0]
     y = grid[..., 1]
 
     def paint_disk(img, center, radius, color):
         d2 = jnp.square(x - center[0]) + jnp.square(y - center[1])
         mask = d2 <= radius * radius
-        return jnp.where(mask[..., None], jnp.asarray(_color_u8(color)), img)
+        return jnp.where(
+            mask[..., None], jnp.asarray(_color_u8(color), jnp.float32), img
+        )
 
     def paint_mask(img, mask, color):
-        return jnp.where(mask[..., None], jnp.asarray(_color_u8(color)), img)
+        return jnp.where(
+            mask[..., None], jnp.asarray(_color_u8(color), jnp.float32), img
+        )
 
     def box_mask(center, hx, hy):
         return (jnp.abs(x - center[0]) <= hx) & (jnp.abs(y - center[1]) <= hy)
@@ -155,7 +162,9 @@ def render_mobile_robot(env, state) -> jax.Array:
     )
     img = paint_mask(img, wheel_mask, ROBOT_WHEEL)
 
-    out = img
+    # Every value is an exact small integer in f32; the cast truncates
+    # exactly, so output is bit-identical to all-float or all-u8 paths.
+    out = img.astype(jnp.uint8)
     if env.fpv:
         # First-person second camera (mobile_robot_env.py:315-332).
         out = jnp.concatenate([out, render_mobile_robot_fpv(env, state)], axis=-1)

@@ -12,6 +12,7 @@ import sys
 
 pid = int(sys.argv[1])
 port = sys.argv[2]
+n_updates = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
@@ -50,16 +51,28 @@ def main():
         num_envs=8,
         config=PPOConfig(n_steps=8, nminibatches=2, noptepochs=1),
     )
-    state = agent.init_state(jax.random.PRNGKey(0), n_updates=2)
+    state = agent.init_state(jax.random.PRNGKey(0), n_updates=max(2, n_updates))
     state = shard_ppo_state(state, mesh)
-    new_state, metrics = jax.jit(agent.train_iteration)(state)
+    jit_iter = jax.jit(agent.train_iteration)
+    # Multi-update learning curve (BASELINE learning-parity bar): the
+    # per-update pg_loss and mean-reward trajectories must be identical
+    # across the two processes and bit-equal to the single-process run of
+    # the same global mesh.
+    pg_curve, rew_curve = [], []
+    for _ in range(n_updates):
+        state, metrics = jit_iter(state)
+        pg_curve.append(float(np.asarray(metrics["pg_loss"].addressable_data(0))))
+        rew_curve.append(
+            float(np.asarray(metrics["mean_reward_per_step"].addressable_data(0)))
+        )
+    new_state, metrics = state, metrics
 
     import jax.numpy as jnp
 
     # Metrics are replicated over the global mesh: every process reads its
     # local shard of the same value (and broadcast_one_to_all cross-checks
     # that process 0 saw the identical number).
-    pg = float(np.asarray(metrics["pg_loss"].addressable_data(0)))
+    pg = pg_curve[-1]
     pg0 = float(np.asarray(multihost_utils.broadcast_one_to_all(np.float32(pg))))
     assert pg == pg0, (pg, pg0)
 
@@ -73,6 +86,8 @@ def main():
 
     params_norm = float(np.asarray(pnorm(new_state.params).addressable_data(0)))
     print(f"PGLOSS {pg:.8f} PNORM {params_norm:.8f}", flush=True)
+    print("PGCURVE " + ",".join(f"{v:.8e}" for v in pg_curve), flush=True)
+    print("RCURVE " + ",".join(f"{v:.8e}" for v in rew_curve), flush=True)
 
 
 if __name__ == "__main__":

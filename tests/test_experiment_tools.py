@@ -115,3 +115,47 @@ def test_tpe_suggest_shapes():
         assert 1e-4 <= p["lr"] <= 1e-2
         assert 2 <= p["n"] <= 8
         tpe.history.append((float(-i), p))
+
+
+@pytest.mark.fast
+def test_live_vis_server(tmp_path):
+    """LiveVisServer serves the page and run data mid-run (the reference's
+    live visdom windows, rl_baselines/visualize.py:146-215)."""
+    import json
+    import socket
+    import urllib.request
+
+    from srl_tpu.experiments.live_vis import LiveVisServer, read_run_data
+    from srl_tpu.utils.monitor import MonitorWriter
+
+    log_dir = str(tmp_path / "run")
+    mon = MonitorWriter(log_dir, env_id="TestEnv-v0")
+    for i in range(12):
+        mon.write_episode(reward=float(i), length=10)
+    mon.close()
+    with open(os.path.join(log_dir, "metrics.jsonl"), "w") as f:
+        f.write(json.dumps({"update": 9, "num_timesteps": 120,
+                            "mean_reward": 5.5, "fps": 1000.0}) + "\n")
+
+    data = read_run_data(log_dir, window=5)
+    assert len(data["episodes"]) == 12
+    assert data["episode_timesteps"][-1] == 120
+    assert data["metrics_mean_reward"] == [5.5]
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    server = LiveVisServer(log_dir, port=port, window=5)
+    assert server.start()
+    try:
+        page = urllib.request.urlopen(
+            f"http://localhost:{port}/", timeout=5).read().decode()
+        assert "srl_tpu live training" in page
+        payload = json.loads(urllib.request.urlopen(
+            f"http://localhost:{port}/data.json", timeout=5).read())
+        assert payload["episodes"] == [float(i) for i in range(12)]
+        assert payload["num_timesteps"] == 120
+        # Busy port: a second server skips gracefully instead of raising.
+        assert LiveVisServer(log_dir, port=port).start() is False
+    finally:
+        server.stop()

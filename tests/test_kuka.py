@@ -173,6 +173,53 @@ def test_rand_button_distractors_and_ball():
 
 
 @pytest.mark.fast
+def test_rand_button_distractors_are_physical():
+    """The reference's distractors are dynamic bodies the arm can shove
+    (kuka_rand_button_gym_env.py:60-69); a tip overlapping a distractor
+    must push it out of penetration, and non-contacted objects must not
+    move."""
+    from srl_tpu.envs.kuka import (
+        DISTRACTOR_RADIUS, DISTRACTOR_TOP, TIP_RADIUS, Z_TABLE,
+    )
+
+    env = KukaRandButtonEnv(srl_model="ground_truth", noise_std=0.0)
+    state = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    # Descend the arm until the tip is in distractor-contact range (the
+    # servo follows the integrated target with PyBullet-style lag, so this
+    # takes a few hundred steps).
+    for _ in range(600):
+        state, _, _ = step(state, jnp.int32(4))  # -dz
+        if float(state.tip[2]) <= DISTRACTOR_TOP:
+            break
+    assert float(state.tip[2]) <= DISTRACTOR_TOP + 1e-3, "tip never got low"
+    # Plant a distractor right where the tip is; the next lateral move must
+    # shove it out of penetration.
+    distractors = np.asarray(state.distractors).copy()
+    tip = np.asarray(state.tip)
+    distractors[0] = [tip[0], tip[1], Z_TABLE + 0.03]
+    before = distractors.copy()
+    state = state.replace(distractors=jnp.asarray(distractors))
+    state, _, _ = step(state, jnp.int32(0))  # -dx
+    moved = np.asarray(state.distractors)
+    new_tip = np.asarray(state.tip)
+    d = np.linalg.norm(moved[0, :2] - new_tip[:2])
+    assert np.linalg.norm(moved[0, :2] - before[0, :2]) > 1e-4, (
+        "distractor did not respond to arm contact"
+    )
+    assert d >= TIP_RADIUS + DISTRACTOR_RADIUS - 1e-4, (
+        f"distractor not pushed out of penetration: d={d:.4f}"
+    )
+    # Objects far from tip and ball are untouched.
+    ball = np.asarray(state.ball[:2])
+    for i in range(1, 10):
+        if (np.linalg.norm(before[i, :2] - ball) > 0.2
+                and np.linalg.norm(before[i, :2] - new_tip[:2]) > 0.2
+                and before[i, 2] > Z_TABLE):
+            np.testing.assert_array_equal(moved[i], before[i])
+
+
+@pytest.mark.fast
 def test_vectorized_kuka_rollout():
     env = KukaButtonEnv(srl_model="ground_truth")
     vec = VecEnv(env, 16)
