@@ -366,10 +366,14 @@ def main(argv=None):
             from srl_tpu.agents.a2c import RecurrentA2C
 
             algo_class = RecurrentA2C
+        elif args.algo == "acer":
+            from srl_tpu.agents.acer import RecurrentACER
+
+            algo_class = RecurrentACER
         else:
             raise AssertionError(
                 "Error: recurrent policies are currently supported for "
-                "ppo2 and a2c"
+                "ppo2, a2c and acer"
             )
 
     kwargs = {}

@@ -92,6 +92,60 @@ def test_recurrent_a2c_smoke(tmp_path):
 
 
 @pytest.mark.fast
+def test_recurrent_acer_smoke(tmp_path):
+    from srl_tpu.agents.acer import ACERConfig, RecurrentACER
+
+    env = MobileRobotEnv(max_steps=30)
+    # 5 updates so the off-policy replay path (replay_start=2) executes
+    # through the BPTT segment re-run.
+    cfg = ACERConfig(n_steps=8, buffer_segments=8, replay_start=2,
+                     replay_ratio=2)
+    agent = RecurrentACER(env=env, num_envs=4, policy="lstm", config=cfg)
+    state = agent.learn(total_timesteps=8 * 4 * 5, seed=0)
+    assert int(state.update_idx) == 5
+    assert int(state.buffer.size) == 5
+    assert np.all(np.isfinite(np.asarray(
+        jax.tree.leaves(state.params)[0])))
+
+    obs = np.zeros((2, 2), np.float32)
+    a1 = agent.getAction(obs, deterministic=True)
+    assert a1.shape == (2,)
+    p = agent.getActionProba(obs)
+    np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-5)
+
+    path = str(tmp_path / "acer_lstm.pkl")
+    agent.save(path)
+    loaded = RecurrentACER.load(path, env=MobileRobotEnv())
+    np.testing.assert_allclose(loaded.getActionProba(obs), p, atol=1e-6)
+
+
+@pytest.mark.fast
+def test_recurrent_acer_lnlstm_variant():
+    from srl_tpu.agents.acer import ACERConfig, RecurrentACER
+
+    env = MobileRobotEnv(max_steps=20)
+    agent = RecurrentACER(env=env, num_envs=4, policy="lnlstm",
+                          config=ACERConfig(n_steps=8, buffer_segments=4))
+    agent.learn(total_timesteps=8 * 4, seed=0)
+
+
+@pytest.mark.fast
+def test_train_cli_acer_lstm_policy(tmp_path):
+    import os
+
+    from srl_tpu.experiments.train import main as train_main
+
+    log_dir = train_main([
+        "--algo", "acer", "--env", "MobileRobotGymEnv-v0",
+        "--srl-model", "ground_truth", "--policy", "lstm",
+        "--num-timesteps", "300", "--log-dir", str(tmp_path),
+        "--num-envs", "4", "--no-vis",
+        "--hyperparam", "n_steps:8",
+    ])
+    assert os.path.exists(os.path.join(log_dir, "args.json"))
+
+
+@pytest.mark.fast
 def test_train_cli_a2c_lstm_policy(tmp_path):
     import os
 
