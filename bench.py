@@ -170,7 +170,11 @@ def main():
             num_envs=128,
             config=PPOConfig(n_steps=128),
         )
-        agent.learn(total_timesteps=128 * 128, seed=0)  # compile+warm
+        # Warm with the SAME horizon as the timed call: the lr-anneal
+        # schedule (and therefore the cached jitted step) is keyed on the
+        # update count, so equal horizons make the timed learn() a pure
+        # cache-hit steady-state measurement.
+        agent.learn(total_timesteps=128 * 128 * 3, seed=0)  # compile+warm
         t0 = time.perf_counter()
         agent.learn(total_timesteps=128 * 128 * 3, seed=0)
         dt = time.perf_counter() - t0

@@ -77,7 +77,10 @@ class A2C(BaseRLAgent):
         key, k_env, k_params = jax.random.split(key, 3)
         vstate, obs = self.vec_env.reset(k_env)
         params = self.policy.init(k_params, obs)
-        self._tx = self._make_optimizer(n_updates)
+        if getattr(self, "_tx", None) is None or \
+                getattr(self, "_n_updates_hint", None) != n_updates:
+            self._tx = self._make_optimizer(n_updates)
+        self._n_updates_hint = n_updates
         opt_state = self._tx.init(params)
         obs_norm = (
             RunningNorm.create(self.env.observation_space.shape)
@@ -141,7 +144,7 @@ class A2C(BaseRLAgent):
         steps_per_update = cfg.n_steps * self.num_envs
         n_updates = max(1, total_timesteps // steps_per_update)
         state = self.init_state(jax.random.PRNGKey(seed), n_updates)
-        jit_iter = jax.jit(self.train_iteration, donate_argnums=0)
+        jit_iter = self._jit_train_iteration()
 
         episode_returns, episode_lengths = [], []
         t_start = time.time()
@@ -303,7 +306,10 @@ class RecurrentA2C(A2C):
         lstm0 = (jnp.zeros((self.num_envs, self.policy.n_lstm)),
                  jnp.zeros((self.num_envs, self.policy.n_lstm)))
         params = self.policy.init(k_p, obs, lstm0, done0)
-        self._tx = self._make_optimizer(n_updates)
+        if getattr(self, "_tx", None) is None or \
+                getattr(self, "_n_updates_hint", None) != n_updates:
+            self._tx = self._make_optimizer(n_updates)
+        self._n_updates_hint = n_updates
         obs_norm = (
             RunningNorm.create(self.env.observation_space.shape)
             if self.normalize_obs else None

@@ -420,7 +420,7 @@ class ACKTR(BaseRLAgent):
         steps_per_update = cfg.n_steps * self.num_envs
         n_updates = max(1, total_timesteps // steps_per_update)
         state = self.init_state(jax.random.PRNGKey(seed))
-        jit_iter = jax.jit(self.train_iteration, donate_argnums=0)
+        jit_iter = self._jit_train_iteration()
         episode_returns, episode_lengths = [], []
         t0 = time.time()
         for update in range(n_updates):

@@ -86,6 +86,24 @@ class BaseRLAgent:
     def train(self, args, callback=None, env_kwargs=None, train_kwargs=None):
         raise NotImplementedError
 
+    def _jit_train_iteration(self):
+        """Jitted ``train_iteration``, cached across learn() calls.
+
+        Re-wrapping a bound method with jax.jit on every learn() re-traces
+        and re-lowers the whole rollout+update graph (seconds to tens of
+        seconds for pixel configurations) even though the backend executable
+        cache would hit. The trace closes over ``self._tx`` (whose schedule
+        may embed the run horizon), so the cache is keyed on its identity —
+        rebuilding the optimizer invalidates it, anything else reuses it."""
+        cache = getattr(self, "_jit_cache", None)
+        if cache is None:
+            cache = self._jit_cache = {}
+        key = ("iter", id(getattr(self, "_tx", None)))
+        fn = cache.get(key)
+        if fn is None:
+            fn = cache[key] = jax.jit(self.train_iteration, donate_argnums=0)
+        return fn
+
     # ---- shared pickle helpers -------------------------------------------
     @staticmethod
     def _to_numpy(tree):

@@ -109,7 +109,12 @@ class PPO2(BaseRLAgent):
         key, k_env, k_params = jax.random.split(key, 3)
         vstate, obs = self.vec_env.reset(k_env)
         params = self.policy.init(k_params, obs)
-        self._tx = self._make_optimizer(n_updates)
+        # Keep the same optimizer object when the lr-anneal horizon is
+        # unchanged so learn()'s jit cache (keyed on id(self._tx)) stays
+        # warm across calls.
+        if getattr(self, "_tx", None) is None or \
+                getattr(self, "_n_updates_hint", None) != n_updates:
+            self._tx = self._make_optimizer(n_updates)
         self._n_updates_hint = n_updates
         opt_state = self._tx.init(params)
         obs_norm = (
@@ -284,17 +289,31 @@ class PPO2(BaseRLAgent):
         else:
             state = self.init_state(jax.random.PRNGKey(seed), n_updates)
 
-        if k == 1:
-            jit_iter = jax.jit(self.train_iteration, donate_argnums=0)
-        else:
-            def k_updates(state):
-                def body(s, _):
-                    s, metrics = self.train_iteration(s)
-                    return s, metrics
+        # Cache the jitted step across learn() calls: re-wrapping with
+        # jax.jit on every call re-traces and re-lowers the whole
+        # rollout+update graph (~15 s for the pixel configurations) even
+        # though XLA would hit its executable cache. The trace closes over
+        # self._tx, whose lr-anneal horizon is n_updates — so the cache key
+        # includes the horizon and init_state only rebuilds the optimizer
+        # when the horizon actually changes.
+        cache = getattr(self, "_jit_cache", None)
+        if cache is None:
+            cache = self._jit_cache = {}
+        cache_key = (k, id(self._tx))
+        jit_iter = cache.get(cache_key)
+        if jit_iter is None:
+            if k == 1:
+                jit_iter = jax.jit(self.train_iteration, donate_argnums=0)
+            else:
+                def k_updates(state):
+                    def body(s, _):
+                        s, metrics = self.train_iteration(s)
+                        return s, metrics
 
-                return jax.lax.scan(body, state, None, length=k)
+                    return jax.lax.scan(body, state, None, length=k)
 
-            jit_iter = jax.jit(k_updates, donate_argnums=0)
+                jit_iter = jax.jit(k_updates, donate_argnums=0)
+            cache[cache_key] = jit_iter
 
         episode_returns = []
         episode_lengths = []

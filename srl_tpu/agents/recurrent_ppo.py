@@ -95,7 +95,10 @@ class RecurrentPPO2(BaseRLAgent):
         lstm0 = (jnp.zeros((self.num_envs, self.policy.n_lstm)),
                  jnp.zeros((self.num_envs, self.policy.n_lstm)))
         params = self.policy.init(k_p, obs, lstm0, done0)
-        self._tx = self._make_optimizer(n_updates)
+        if getattr(self, "_tx", None) is None or \
+                getattr(self, "_n_updates_hint", None) != n_updates:
+            self._tx = self._make_optimizer(n_updates)
+        self._n_updates_hint = n_updates
         obs_norm = (
             RunningNorm.create(self.env.observation_space.shape)
             if self.normalize_obs else None
@@ -230,7 +233,7 @@ class RecurrentPPO2(BaseRLAgent):
         steps_per_update = cfg.n_steps * self.num_envs
         n_updates = max(1, total_timesteps // steps_per_update)
         state = self.init_state(jax.random.PRNGKey(seed), n_updates)
-        jit_iter = jax.jit(self.train_iteration, donate_argnums=0)
+        jit_iter = self._jit_train_iteration()
         episode_returns, episode_lengths = [], []
         t0 = time.time()
         for update in range(n_updates):

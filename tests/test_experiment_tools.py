@@ -21,7 +21,6 @@ def trained_run(tmp_path_factory):
     return base, log_dir
 
 
-@pytest.mark.fast
 def test_enjoy_replay(trained_run):
     from srl_tpu.replay.enjoy import enjoy
 

@@ -60,8 +60,14 @@ def _env(name):
     return OmniRobotEnv(srl_model="ground_truth")
 
 
-@pytest.mark.fast
-@pytest.mark.parametrize("name", sorted(GOLDEN))
+# kuka's 64-env fingerprint rollout is the one compile-heavy case; it runs
+# in the default tier, the cheap car/omni pins stay in --fast.
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param("car", marks=pytest.mark.fast),
+     "kuka",
+     pytest.param("omni", marks=pytest.mark.fast)],
+)
 def test_golden_trajectory(name):
     rew_sum, gt = _fingerprint(_env(name))
     want_rew, want_gt = GOLDEN[name]

@@ -219,7 +219,6 @@ def test_rand_button_distractors_are_physical():
             np.testing.assert_array_equal(moved[i], before[i])
 
 
-@pytest.mark.fast
 def test_vectorized_kuka_rollout():
     env = KukaButtonEnv(srl_model="ground_truth")
     vec = VecEnv(env, 16)
@@ -347,7 +346,6 @@ def _random_policy_returns(env, B=32, length=2200, seed=1):
     return np.array(rets)
 
 
-@pytest.mark.fast
 def test_random_policy_is_not_trivial():
     """A random policy must not trivially max the task: the reference arm
     must land the finger on a 9 cm cap after a 0.37 m descent with the table

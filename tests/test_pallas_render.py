@@ -25,7 +25,6 @@ def test_pallas_render_matches_xla(env_cls):
     np.testing.assert_array_equal(ref, pal)
 
 
-@pytest.mark.fast
 @pytest.mark.parametrize("variant", ["button", "rand", "2button"])
 def test_pallas_kuka_render_matches_xla(variant):
     """The Pallas tile ray-tracer renders the same Kuka scene as the XLA

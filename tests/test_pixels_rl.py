@@ -12,14 +12,12 @@ def _smoke(env):
     assert agent.policy.torso == "cnn"
 
 
-@pytest.mark.fast
 def test_mobile_robot_pixels_ppo():
     from srl_tpu.envs.mobile_robot import MobileRobotEnv
 
     _smoke(MobileRobotEnv(srl_model="raw_pixels", max_steps=10))
 
 
-@pytest.mark.fast
 def test_kuka_pixels_ppo():
     from srl_tpu.envs.kuka import KukaButtonEnv
 

@@ -74,7 +74,6 @@ def test_omnirobot_sim_server_protocol():
     assert not thread.is_alive()
 
 
-@pytest.mark.fast
 def test_srl_client_server_protocol(tmp_path):
     """HELLO/LEARN/READY protocol against the on-device SRL trainer."""
     from srl_tpu.data.dataset_generator import generate_dataset

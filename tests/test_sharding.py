@@ -65,7 +65,6 @@ def test_trajectories_bit_exact_across_mesh_shapes(dp):
     np.testing.assert_array_equal(t_ref, t_sharded)
 
 
-@pytest.mark.fast
 def test_sharded_ppo_step_matches_single_device():
     """One PPO train iteration on a dp mesh matches the unsharded result
     (within reduction-order tolerance)."""
@@ -94,7 +93,6 @@ def test_sharded_ppo_step_matches_single_device():
     )
 
 
-@pytest.mark.fast
 def test_ppo_curve_equivalent_across_dp_shapes():
     """A 12-update PPO training curve must be numerically equivalent on a
     1-device layout and on dp=2/dp=4 meshes: the update math is identical,
@@ -156,7 +154,6 @@ def test_graft_dryrun_multichip():
     m.dryrun_multichip(8)
 
 
-@pytest.mark.fast
 def test_mixed_env_fleet_sharded():
     """Mixed Kuka + Omnirobot fleets stepped in ONE jitted function over the
     dp mesh (the pod-scale config shape from BASELINE.json, scaled down)."""

@@ -59,16 +59,17 @@ def test_dataset_generation_layout(small_dataset):
     assert n == 6 * 16
 
 
-@pytest.mark.fast
+# Only the cheapest loss combos stay in the --fast smoke tier (compile time
+# dominates them); the rest run in the default tier.
 @pytest.mark.parametrize(
     "losses",
     [
         ["autoencoder"],
         ["vae"],
         ["forward", "inverse"],
-        ["reward"],
-        ["priors"],
-        ["supervised"],
+        pytest.param(["reward"], marks=pytest.mark.fast),
+        pytest.param(["priors"], marks=pytest.mark.fast),
+        pytest.param(["supervised"], marks=pytest.mark.fast),
         ["autoencoder", "inverse", "forward"],
         ["dae"],
     ],
@@ -85,7 +86,6 @@ def test_srl_training_smoke(small_dataset, losses, tmp_path):
     assert states.shape == (8, 3)
 
 
-@pytest.mark.fast
 def test_autoencoder_loss_decreases(small_dataset, tmp_path):
     data, _ = small_dataset
     trainer = SRLTrainer(state_dim=4, losses=["autoencoder"], obs_shape=(224, 224, 3))
@@ -118,7 +118,6 @@ def test_pca_baseline(small_dataset, tmp_path):
     assert np.std(np.asarray(states)) > 1e-3
 
 
-@pytest.mark.fast
 def test_srl_encoded_env_rl_smoke(small_dataset, tmp_path):
     """Full SRL->RL path: learned encoder feeding PPO2 (replaces the
     MultiprocessSRLModel pipe, rl_baselines/utils.py:162-191)."""
@@ -139,7 +138,6 @@ def test_srl_encoded_env_rl_smoke(small_dataset, tmp_path):
     assert int(state.update_idx) == 2
 
 
-@pytest.mark.fast
 def test_split_dimensions_semantics(small_dataset, tmp_path):
     """srl_splits trains a genuinely split encoder (SRLModulesSplit,
     state_representation/models.py:60-92): 'split-dimensions' is written to

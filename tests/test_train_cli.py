@@ -106,7 +106,6 @@ def test_train_cli_rejects_bad_action_type(tmp_path):
         ])
 
 
-@pytest.mark.fast
 def test_full_srl_rl_pipeline(tmp_path):
     """dataset gen -> SRL training -> yaml -> RL on encoded states
     (the reference's test_end_to_end.py flow)."""
