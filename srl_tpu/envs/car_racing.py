@@ -231,14 +231,25 @@ class CarRacingEnv(TpuEnv):
         """Car-centered top-down view: grass, track band, car box — matching
         the gym view's information content.
 
-        Perf: the naive field is min over all N_TILES of a per-pixel
-        distance — H*W*N_TILES (~12.6M) multiply-adds per frame. Instead:
-        (1) only the K tiles nearest the car can be visible in the 60-unit
-        view, selected with top_k; (2) the distance field is evaluated on a
-        56x56 grid and bilinearly upsampled — the quadratic field is smooth
-        at the ~1-world-unit grid pitch while the track band is ~7 units
-        wide, so the threshold edge moves by well under a band width.
-        ~30x fewer FLOPs per frame."""
+        Perf, two layers (see docs/PARITY.md roofline section):
+        - FLOP bound: the naive field is min over all N_TILES of a per-pixel
+          distance — H*W*N_TILES (~12.6M) multiply-adds per frame. Instead
+          the field is evaluated on a 56x56 grid and bilinearly upsampled —
+          the quadratic field is smooth at the ~1-world-unit grid pitch
+          while the track band is ~7 units wide, so the threshold edge
+          moves well under a band width. The coarse grid makes an exact min
+          over ALL tiles affordable; an earlier top_k(128) nearest-tile
+          cull was measured SLOWER on TPU v5e (226k vs 325k f/s isolated —
+          the per-frame sort costs more than the 2x field FLOPs it saves)
+          and only approximated this exact field.
+        - Pixel bound: the frame has exactly four quantized colors (two
+          grass checker shades, track grey, car red), so pixels composite
+          as ONE packed-u32 lane — one select per layer instead of three —
+          and unpack via a free bitcast (same packed scheme as
+          ops/renderer.py, bit-identical to the per-channel float path:
+          colors pre-quantized with the same clip(c*255+0.5) truncation).
+          The car mask depends only on the static view grid and is a baked
+          constant."""
         h, w = RENDER_HEIGHT, RENDER_WIDTH
         view = 60.0  # world units across the view
         ys = jnp.linspace(view / 2, -view / 2, h)
@@ -249,17 +260,18 @@ class CarRacingEnv(TpuEnv):
         wx = state.pos[0] + c * gx - s * gy
         wy = state.pos[1] + s * gx + c * gy
 
-        grass = jnp.stack([
-            jnp.full((h, w), 0.4), jnp.full((h, w), 0.8), jnp.full((h, w), 0.4)
-        ], axis=-1)
-        checker = ((jnp.floor(wx / 10.0) + jnp.floor(wy / 10.0)) % 2)
-        img = grass * (0.92 + 0.08 * checker[..., None])
+        def pack(r, g, b):
+            q = lambda v: int(np.clip(v * 255.0 + 0.5, 0, 255))
+            return jnp.uint32(q(r) | (q(g) << 8) | (q(b) << 16))
 
-        # Track band via a coarse distance field over the K nearest tiles.
-        K, LOW = 128, 56
-        d2_car = jnp.sum(jnp.square(state.track - state.pos[None, :]), axis=-1)
-        _, idx = jax.lax.top_k(-d2_car, K)
-        near = state.track[idx]  # [K, 2]
+        grass_hi = pack(0.4, 0.8, 0.4)            # checker == 1
+        grass_lo = pack(0.4 * 0.92, 0.8 * 0.92, 0.4 * 0.92)
+        checker = ((jnp.floor(wx / 10.0) + jnp.floor(wy / 10.0)) % 2) > 0.5
+        img = jnp.where(checker, grass_hi, grass_lo)
+
+        # Track band via the coarse distance field over every tile.
+        LOW = 56
+        near = state.track  # [N_TILES, 2]
         ys_lo = jnp.linspace(view / 2, -view / 2, LOW)
         xs_lo = jnp.linspace(-view / 2, view / 2, LOW)
         gx_lo, gy_lo = jnp.meshgrid(xs_lo, ys_lo)
@@ -272,10 +284,11 @@ class CarRacingEnv(TpuEnv):
         )
         min_d2 = jax.image.resize(d2_lo, (h, w), "linear")
         on_track = min_d2 < TRACK_WIDTH**2
-        img = jnp.where(on_track[..., None], jnp.array([0.4, 0.4, 0.4]), img)
+        img = jnp.where(on_track, pack(0.4, 0.4, 0.4), img)
 
-        # Car: red box at the view center (rotated frame -> axis aligned).
+        # Car: red box at the view center (rotated frame -> axis aligned;
+        # static in the view grid, so the mask is a compile-time constant).
         cmask = (jnp.abs(gx) < 1.0) & (jnp.abs(gy) < 2.0)
-        img = jnp.where(cmask[..., None], jnp.array([0.8, 0.0, 0.0]), img)
+        img = jnp.where(cmask, pack(0.8, 0.0, 0.0), img)
 
-        return jnp.clip(img * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+        return jax.lax.bitcast_convert_type(img, jnp.uint8)[..., :3]
