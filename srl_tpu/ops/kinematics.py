@@ -86,21 +86,62 @@ def fk(q: jax.Array):
 
     Returns (joint_positions [7,3], joint_axes_world [7,3], R_ee [3,3],
     p_flange [3], p_tip [3]).
-    """
-    offsets = jnp.asarray(IIWA_OFFSETS)
-    axes = jnp.asarray(IIWA_AXES)
-    R = jnp.eye(3, dtype=jnp.float32)
-    p = jnp.asarray(BASE_POS)
+
+    The iiwa's joints are all elementary rotations (axes z, y, z, -y, z, y,
+    z) and every link offset is pure +z, so the chain is evaluated as Givens
+    column updates on the nine scalar entries of R: R@Rz mixes columns 0/1,
+    R@Ry mixes columns 0/2, and each position update only needs column 2
+    (p += d * R[:, 2]). That removes every 3x3 ``dot_general`` from the hot
+    env step — under vmap each tiny batched matmul was its own kernel thunk
+    (~42 per step with the contact-rollback second FK), whose dispatch
+    overhead dominated the Kuka step; the scalar form fuses into the single
+    elementwise kernel with everything else. Same operations in the same
+    per-element order as the generic Rodrigues+matmul chain on these axes."""
+    base = jnp.asarray(BASE_POS)
+    px, py, pz = base[0], base[1], base[2]
+    one = jnp.ones_like(q[0])
+    zero = jnp.zeros_like(q[0])
+    # R columns as scalars: c0 = (r00, r10, r20), c1, c2. Start = identity.
+    c0 = (one, zero, zero)
+    c1 = (zero, one, zero)
+    c2 = (zero, zero, one)
+    offs = [float(IIWA_OFFSETS[i, 2]) for i in range(7)]
+    # axis kind per joint: +1 -> Rz(q), +2 -> Ry(q), -2 -> Ry(-q).
+    kinds = []
+    for i in range(7):
+        ax = IIWA_AXES[i]
+        kinds.append(1 if ax[2] != 0 else (2 if ax[1] > 0 else -2))
+
     joint_pos = []
     joint_axis = []
     for i in range(7):
-        p = p + R @ offsets[i]
-        axis_w = R @ axes[i]
-        joint_pos.append(p)
-        joint_axis.append(axis_w)
-        R = R @ _axis_rotation(axes[i], q[i])
-    p_tip = p + R @ jnp.array([0.0, 0.0, TIP_OFFSET], jnp.float32)
-    return jnp.stack(joint_pos), jnp.stack(joint_axis), R, p, p_tip
+        d = offs[i]
+        px = px + d * c2[0]
+        py = py + d * c2[1]
+        pz = pz + d * c2[2]
+        joint_pos.append(jnp.stack([px, py, pz]))
+        s, c = jnp.sin(q[i]), jnp.cos(q[i])
+        if kinds[i] == 1:  # about local z: axis_w = c2, mix c0/c1
+            joint_axis.append(jnp.stack([c2[0], c2[1], c2[2]]))
+            n0 = tuple(c * a + s * b for a, b in zip(c0, c1))
+            n1 = tuple(-s * a + c * b for a, b in zip(c0, c1))
+            c0, c1 = n0, n1
+        else:  # about local +-y: axis_w = +-c1, mix c0/c2
+            sgn = 1.0 if kinds[i] == 2 else -1.0
+            joint_axis.append(jnp.stack([sgn * c1[0], sgn * c1[1], sgn * c1[2]]))
+            se = sgn * s
+            n0 = tuple(c * a - se * b for a, b in zip(c0, c2))
+            n2 = tuple(se * a + c * b for a, b in zip(c0, c2))
+            c0, c2 = n0, n2
+
+    p_flange = jnp.stack([px, py, pz])
+    p_tip = p_flange + TIP_OFFSET * jnp.stack([c2[0], c2[1], c2[2]])
+    R = jnp.stack(
+        [jnp.stack([c0[0], c1[0], c2[0]]),
+         jnp.stack([c0[1], c1[1], c2[1]]),
+         jnp.stack([c0[2], c1[2], c2[2]])]
+    )
+    return jnp.stack(joint_pos), jnp.stack(joint_axis), R, p_flange, p_tip
 
 
 def tip_position(q: jax.Array) -> jax.Array:
@@ -110,13 +151,13 @@ def tip_position(q: jax.Array) -> jax.Array:
 def gripper_position(q: jax.Array) -> jax.Array:
     """Position of the gripper link (getArmPos, kuka_button_gym_env.py:205-212)."""
     _, _, R, p_flange, _ = fk(q)
-    return p_flange + R @ jnp.array([0.0, 0.0, GRIPPER_OFFSET], jnp.float32)
+    return p_flange + GRIPPER_OFFSET * R[:, 2]
 
 
 def fk_points(q: jax.Array):
     """(p_flange, p_gripper, p_tip) from one FK pass."""
     _, _, R, p_flange, p_tip = fk(q)
-    p_grip = p_flange + R @ jnp.array([0.0, 0.0, GRIPPER_OFFSET], jnp.float32)
+    p_grip = p_flange + GRIPPER_OFFSET * R[:, 2]
     return p_flange, p_grip, p_tip
 
 
