@@ -165,27 +165,15 @@ class ACER(BaseRLAgent):
                          update_idx=jnp.int32(0))
 
     # ------------------------------------------------------------------
-    def _segment_loss_grads(self, params, avg_params, segment):
-        """ACER loss gradients for one segment with distribution-space trust
-        region. Returns a grads pytree."""
+    def _acer_logit_grads(self, logits, q, avg_logits, actions, rewards,
+                          dones, mus, T):
+        """Distribution-space ACER gradients w.r.t. (logits [T+1,N,A],
+        q [T+1,N,A]): Retrace targets, truncated-importance policy gain,
+        bias correction, entropy, and the trust-region projection against
+        the average-policy distribution. Shared by the feedforward and
+        recurrent variants — only the network forward (and hence the VJP
+        that pulls these back to parameters) differs."""
         cfg = self.config
-        obs, actions, rewards, dones, mus = segment  # [T+1,N,...],[T,N],...
-        T, N = actions.shape
-        flat_obs = obs.reshape((-1,) + obs.shape[2:])
-
-        def forward(p, o):
-            return self.net.apply(p, o)
-
-        # Logit-space trust region: split the computation at the logits.
-        def net_to_logits(p):
-            logits, q = forward(p, flat_obs)
-            return logits, q
-
-        (logits, q), vjp_fn = jax.vjp(net_to_logits, params)
-        logits = logits.reshape(T + 1, N, self.n_act)
-        q = q.reshape(T + 1, N, self.n_act)
-        avg_logits, _ = forward(avg_params, flat_obs)
-        avg_logits = avg_logits.reshape(T + 1, N, self.n_act)
 
         def loss_of_logits(lg, qv):
             f = jax.nn.softmax(lg[:T], axis=-1)  # [T,N,A]
@@ -233,7 +221,7 @@ class ACER(BaseRLAgent):
             return loss_policy - cfg.ent_coef * entropy, loss_q
 
         # Gradients w.r.t. logits (policy part) and q (value part).
-        (g_logits, _), (gq_logits, g_q) = (
+        (g_logits, _), (_, g_q) = (
             jax.grad(lambda lg, qv: loss_of_logits(lg, qv)[0], argnums=(0, 1))(
                 logits, q
             ),
@@ -251,13 +239,34 @@ class ACER(BaseRLAgent):
             kg = jnp.sum(k * g, axis=-1, keepdims=True)
             k2 = jnp.sum(k * k, axis=-1, keepdims=True)
             adj = jnp.maximum(0.0, (kg - cfg.delta) / (k2 + 1e-6))
-            g = g - adj * k
-            g_logits = -g
+            g_logits = -(g - adj * k)
+        return g_logits, g_q
 
-        # The q-loss has no logits dependency (gq_logits is identically 0).
-        total_g_logits = g_logits.reshape(-1, self.n_act)
-        total_g_q = (g_q * cfg.q_coef).reshape(-1, self.n_act)
-        (grads,) = vjp_fn((total_g_logits, total_g_q))
+    def _segment_loss_grads(self, params, avg_params, segment):
+        """ACER loss gradients for one segment with distribution-space trust
+        region. Returns a grads pytree."""
+        cfg = self.config
+        obs, actions, rewards, dones, mus = segment  # [T+1,N,...],[T,N],...
+        T, N = actions.shape
+        flat_obs = obs.reshape((-1,) + obs.shape[2:])
+
+        # Logit-space trust region: split the computation at the logits.
+        def net_to_logits(p):
+            return self.net.apply(p, flat_obs)
+
+        (logits, q), vjp_fn = jax.vjp(net_to_logits, params)
+        logits = logits.reshape(T + 1, N, self.n_act)
+        q = q.reshape(T + 1, N, self.n_act)
+        avg_logits, _ = self.net.apply(avg_params, flat_obs)
+        avg_logits = avg_logits.reshape(T + 1, N, self.n_act)
+
+        g_logits, g_q = self._acer_logit_grads(
+            logits, q, avg_logits, actions, rewards, dones, mus, T
+        )
+        (grads,) = vjp_fn((
+            g_logits.reshape(-1, self.n_act),
+            (g_q * cfg.q_coef).reshape(-1, self.n_act),
+        ))
         return grads
 
     def train_iteration(self, state: ACERState):
@@ -637,74 +646,6 @@ class RecurrentACER(ACER):
         )
         (grads,) = vjp_fn((g_logits, g_q * cfg.q_coef))
         return grads
-
-    def _acer_logit_grads(self, logits, q, avg_logits, actions, rewards,
-                          dones, mus, T):
-        """Distribution-space ACER gradients w.r.t. (logits, q) — shared by
-        both net layouts (the feedforward path keeps its fused original)."""
-        cfg = self.config
-
-        def loss_of_logits(lg, qv):
-            f = jax.nn.softmax(lg[:T], axis=-1)
-            f_all = jax.nn.softmax(lg, axis=-1)
-            q_t = qv[:T]
-            v = jnp.sum(f_all * qv, axis=-1)
-            f_a = jnp.take_along_axis(f, actions[..., None], -1)[..., 0]
-            q_a = jnp.take_along_axis(q_t, actions[..., None], -1)[..., 0]
-            mu_a = jnp.take_along_axis(mus, actions[..., None], -1)[..., 0]
-            rho = f_a / (mu_a + 1e-6)
-            rho_all = f / (mus + 1e-6)
-            rho_bar = jnp.minimum(rho, 1.0)
-
-            q_rets = []
-            q_ret = v[T] * (1.0 - dones[T - 1].astype(jnp.float32))
-            for tstep in reversed(range(T)):
-                q_ret = rewards[tstep] + cfg.gamma * q_ret * (
-                    1.0 - dones[tstep].astype(jnp.float32)
-                )
-                q_rets.append(q_ret)
-                q_ret = rho_bar[tstep] * (q_ret - q_a[tstep]) + v[tstep]
-            q_ret = jnp.stack(q_rets[::-1])
-
-            adv = q_ret - v[:T]
-            logf_a = jnp.log(f_a + 1e-6)
-            gain_f = logf_a * jax.lax.stop_gradient(
-                adv * jnp.minimum(cfg.correction_term, rho)
-            )
-            adv_bc = q_t - v[:T, :, None]
-            gain_bc = jnp.sum(
-                jnp.log(f + 1e-6)
-                * jax.lax.stop_gradient(
-                    adv_bc * f
-                    * jnp.maximum(0.0, 1.0 - cfg.correction_term / (rho_all + 1e-6))
-                ),
-                axis=-1,
-            )
-            loss_policy = -jnp.mean(gain_f + gain_bc)
-            entropy = -jnp.mean(jnp.sum(f * jnp.log(f + 1e-6), axis=-1))
-            loss_q = 0.5 * jnp.mean(
-                jnp.square(jax.lax.stop_gradient(q_ret) - q_a)
-            )
-            return loss_policy - cfg.ent_coef * entropy, loss_q
-
-        (g_logits, _), (_, g_q) = (
-            jax.grad(lambda lg, qv: loss_of_logits(lg, qv)[0], argnums=(0, 1))(
-                logits, q
-            ),
-            jax.grad(lambda lg, qv: loss_of_logits(lg, qv)[1], argnums=(0, 1))(
-                logits, q
-            ),
-        )
-        if cfg.trust_region:
-            f = jax.nn.softmax(logits, axis=-1)
-            avg_f = jax.nn.softmax(avg_logits, axis=-1)
-            k = f - avg_f
-            g = -g_logits
-            kg = jnp.sum(k * g, axis=-1, keepdims=True)
-            k2 = jnp.sum(k * k, axis=-1, keepdims=True)
-            adj = jnp.maximum(0.0, (kg - cfg.delta) / (k2 + 1e-6))
-            g_logits = -(g - adj * k)
-        return g_logits, g_q
 
     def train_iteration(self, state: RecurrentACERState):
         cfg = self.config

@@ -98,11 +98,16 @@ class BaseRLAgent:
         cache = getattr(self, "_jit_cache", None)
         if cache is None:
             cache = self._jit_cache = {}
-        key = ("iter", id(getattr(self, "_tx", None)))
-        fn = cache.get(key)
-        if fn is None:
-            fn = cache[key] = jax.jit(self.train_iteration, donate_argnums=0)
-        return fn
+        # The cache entry holds the optimizer OBJECT alongside the jitted
+        # fn and validates it by identity — keying on id() alone is unsound
+        # (CPython reuses freed addresses, so a rebuilt optimizer could
+        # alias a stale trace with the wrong schedule baked in).
+        tx = getattr(self, "_tx", None)
+        entry = cache.get("iter")
+        if entry is None or entry[0] is not tx:
+            entry = (tx, jax.jit(self.train_iteration, donate_argnums=0))
+            cache["iter"] = entry
+        return entry[1]
 
     # ---- shared pickle helpers -------------------------------------------
     @staticmethod

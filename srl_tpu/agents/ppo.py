@@ -296,12 +296,15 @@ class PPO2(BaseRLAgent):
         # self._tx, whose lr-anneal horizon is n_updates — so the cache key
         # includes the horizon and init_state only rebuilds the optimizer
         # when the horizon actually changes.
+        # Entries hold the optimizer OBJECT and validate by identity (an
+        # id()-keyed cache is unsound: CPython reuses freed addresses, so a
+        # rebuilt optimizer could alias a stale trace with the wrong lr
+        # horizon baked in).
         cache = getattr(self, "_jit_cache", None)
         if cache is None:
             cache = self._jit_cache = {}
-        cache_key = (k, id(self._tx))
-        jit_iter = cache.get(cache_key)
-        if jit_iter is None:
+        entry = cache.get(k)
+        if entry is None or entry[0] is not self._tx:
             if k == 1:
                 jit_iter = jax.jit(self.train_iteration, donate_argnums=0)
             else:
@@ -313,7 +316,9 @@ class PPO2(BaseRLAgent):
                     return jax.lax.scan(body, state, None, length=k)
 
                 jit_iter = jax.jit(k_updates, donate_argnums=0)
-            cache[cache_key] = jit_iter
+            entry = (self._tx, jit_iter)
+            cache[k] = entry
+        jit_iter = entry[1]
 
         episode_returns = []
         episode_lengths = []

@@ -260,9 +260,12 @@ class CarRacingEnv(TpuEnv):
         wx = state.pos[0] + c * gx - s * gy
         wy = state.pos[1] + s * gx + c * gy
 
+        # One packing implementation for all renderers (bit-parity contract
+        # lives in ops/renderer.py: clip(c*255+0.5) truncation, R|G<<8|B<<16).
+        from srl_tpu.ops.renderer import _pack_color
+
         def pack(r, g, b):
-            q = lambda v: int(np.clip(v * 255.0 + 0.5, 0, 255))
-            return jnp.uint32(q(r) | (q(g) << 8) | (q(b) << 16))
+            return jnp.uint32(_pack_color((r, g, b)))
 
         grass_hi = pack(0.4, 0.8, 0.4)            # checker == 1
         grass_lo = pack(0.4 * 0.92, 0.8 * 0.92, 0.4 * 0.92)

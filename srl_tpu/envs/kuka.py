@@ -381,7 +381,11 @@ class KukaButtonEnv(TpuEnv):
         ball = state.ball
         distractors = state.distractors
         if self.rand_objects:
-            kick = step_count == 10
+            # Kick when the step counter CROSSES 10 (the reference applies
+            # the force at its step 10, kuka_rand_button_gym_env.py:117-127)
+            # — an equality test would never fire for action_repeat values
+            # that don't divide 10.
+            kick = (state.step_count < 10) & (step_count >= 10)
             k_kick, key = jax.random.split(key)
             direction = jnp.abs(jax.random.normal(k_kick, (2,)))
             direction = direction / (jnp.linalg.norm(direction) + 1e-8)

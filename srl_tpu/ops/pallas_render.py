@@ -137,7 +137,8 @@ def render_mobile_robot_pallas(env, states) -> jax.Array:
     """
     from srl_tpu.envs.mobile_robot import RENDER_HEIGHT, RENDER_WIDTH
 
-    grid_np, bg_np = xr._mobile_robot_static(env.dim, RENDER_HEIGHT, RENDER_WIDTH)
+    h, w = getattr(env, "render_shape", (RENDER_HEIGHT, RENDER_WIDTH))
+    grid_np, bg_np = xr._mobile_robot_static(env.dim, h, w)
     scene = _scene_params(env, states)
     out = _render_batch(
         env.dim, scene, jnp.asarray(grid_np), jnp.asarray(bg_np)

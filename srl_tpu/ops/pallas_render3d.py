@@ -333,8 +333,10 @@ def _make_kernel(eye, n_buttons: int, n_pts: int, n_distract: int,
             def _distractors():
                 st = (t_ref[...], r_ref[...], g_ref[...], b_ref[...])
                 for i in range(n_distract):
+                    # radius = kuka.DISTRACTOR_RADIUS: the rendered size
+                    # must match the contact model's pushback radius.
                     t, nx, ny, nz = _hit_sphere(
-                        eye, dx, dy, dz, dxs[i], dys[i], dzs[i], 0.025
+                        eye, dx, dy, dz, dxs[i], dys[i], dzs[i], 0.05
                     )
                     st = _shade_composite(st, t, nx, ny, nz,
                                           r3.DISTRACTOR_COLOR)

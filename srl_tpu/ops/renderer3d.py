@@ -233,7 +233,7 @@ def _render_kuka_view(env, state, which: str) -> jax.Array:
     if env.rand_objects:
         for i in range(state.distractors.shape[0]):
             prims.append(
-                _hit_sphere(eye, dirs, state.distractors[i], 0.025)
+                _hit_sphere(eye, dirs, state.distractors[i], 0.05)  # = kuka.DISTRACTOR_RADIUS (render matches the contact model)
                 + (DISTRACTOR_COLOR,)
             )
         prims.append(_hit_sphere(eye, dirs, state.ball[:3], 0.03) + (BALL_COLOR,))

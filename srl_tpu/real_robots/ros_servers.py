@@ -493,17 +493,29 @@ class RosBaxterRig:
         self.arm = baxter_interface.Limb("left")
         self._ee = np.array(cfg.LEFT_ARM_INIT_POS, np.float64)
         self._camera = _RosImageFeed(cfg.IMAGE_TOPIC)
-        # Gazebo-only instrumented button + baxter model state
-        # (gazebo_server.py:70-75); absent on the physical robot.
+        # Gazebo-only instrumented button + baxter model state. Wrapping
+        # the robot model in Button matches the reference exactly
+        # (gazebo_server.py:69-74 constructs arm_sim.Button('baxter') to
+        # read the model pose). Each handle is guarded independently and
+        # against ANY failure, not just ImportError — on a physical Baxter
+        # (or Gazebo without the model) construction can raise ROS
+        # topic/service errors, and the rig must degrade to its stubbed
+        # sensing instead of crashing.
         self._button = None
         self._baxter_model = None
         try:
             from arm_scenario_experiments import Button
-
-            self._button = Button("button1")
-            self._baxter_model = Button("baxter")
         except ImportError:
-            pass
+            Button = None
+        if Button is not None:
+            try:
+                self._button = Button("button1")
+            except Exception:
+                pass
+            try:
+                self._baxter_model = Button("baxter")
+            except Exception:
+                pass
 
     def ee_position(self):
         return self._ee.copy()

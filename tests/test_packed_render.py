@@ -91,9 +91,12 @@ def test_learn_jit_cache_reused_across_calls():
     agent = PPO2(env=env, num_envs=4,
                  config=PPOConfig(n_steps=8, nminibatches=2, noptepochs=1))
     agent.learn(total_timesteps=8 * 4 * 2, seed=0)
+    tx1, fn1 = agent._jit_cache[1]
     agent.learn(total_timesteps=8 * 4 * 2, seed=1)
-    assert len(agent._jit_cache) == 1
-    tx_before = agent._tx
+    tx2, fn2 = agent._jit_cache[1]
+    assert tx2 is tx1 and fn2 is fn1, "same horizon must reuse the trace"
     agent.learn(total_timesteps=8 * 4 * 4, seed=0)  # new lr horizon
-    assert agent._tx is not tx_before
-    assert len(agent._jit_cache) == 2
+    tx3, fn3 = agent._jit_cache[1]
+    assert tx3 is not tx1 and fn3 is not fn1, (
+        "a new lr horizon must rebuild the optimizer and retrace"
+    )
