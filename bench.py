@@ -70,7 +70,9 @@ def main():
     total_time = 0.0
     parts = {}
 
-    steps, dt = bench_env(MobileRobotEnv(), num_envs=8192, n_steps=256)
+    # Batch sizes picked by measured scaling on v5e (steps/s still rising
+    # at these sizes but with diminishing returns; 2x more gains <5%).
+    steps, dt = bench_env(MobileRobotEnv(), num_envs=16384, n_steps=256)
     parts["mobile_robot"] = steps / dt
     total_steps += steps
     total_time += dt
@@ -79,7 +81,7 @@ def main():
         from srl_tpu.envs.kuka import KukaButtonEnv
 
         steps, dt = bench_env(
-            KukaButtonEnv(srl_model="ground_truth"), num_envs=4096, n_steps=128
+            KukaButtonEnv(srl_model="ground_truth"), num_envs=8192, n_steps=128
         )
         parts["kuka_button"] = steps / dt
         total_steps += steps
@@ -114,7 +116,7 @@ def main():
         from srl_tpu.envs.car_racing import CarRacingEnv
 
         steps, dt = bench_env(
-            CarRacingEnv(srl_model="ground_truth"), num_envs=2048, n_steps=128
+            CarRacingEnv(srl_model="ground_truth"), num_envs=8192, n_steps=128
         )
         parts["car_racing"] = steps / dt
         total_steps += steps
@@ -150,6 +152,15 @@ def main():
         agent.learn(total_timesteps=128 * 2048 * 8, seed=0)
         dt = time.perf_counter() - t0
         parts["ppo2_training_full_loop"] = 128 * 2048 * 8 / dt
+
+        # Fused mode: 8 whole updates scanned inside ONE jit call
+        # (--updates-per-call; host<->device sync once per chunk instead of
+        # per update) — the TPU-idiomatic training configuration.
+        agent.learn(total_timesteps=128 * 2048 * 8, seed=0, updates_per_call=8)
+        t0 = time.perf_counter()
+        agent.learn(total_timesteps=128 * 2048 * 8, seed=0, updates_per_call=8)
+        dt = time.perf_counter() - t0
+        parts["ppo2_training_full_loop_fused8"] = 128 * 2048 * 8 / dt
     except Exception:
         pass
 
