@@ -195,6 +195,34 @@ def main():
     except Exception:
         pass
 
+    # SRL encoder training (the srl_zoo capability, on-device): autoencoder
+    # fit over synthetic 224x224 frames, reported as images/s through
+    # full fwd+bwd epochs. The reference outsources this to the PyTorch
+    # srl_zoo submodule on GPU (no published number).
+    try:
+        import numpy as np
+
+        from srl_tpu.srl.trainer import SRLTrainer
+
+        rng = np.random.RandomState(0)
+        n_img = 2048
+        data = {
+            "observations": rng.randint(0, 255, (n_img, 224, 224, 3), np.uint8),
+            "actions": rng.randint(0, 4, n_img).astype(np.int32),
+            "rewards": rng.randn(n_img).astype(np.float32),
+            "episode_starts": (np.arange(n_img) % 64 == 0),
+            "ground_truth_states": rng.randn(n_img, 3).astype(np.float32),
+        }
+        trainer = SRLTrainer(state_dim=3, losses=["autoencoder"],
+                             obs_shape=(224, 224, 3), n_actions=4)
+        trainer.fit(data, epochs=1, batch_size=128)  # compile+warm
+        t0 = time.perf_counter()
+        trainer.fit(data, epochs=2, batch_size=128)
+        dt = time.perf_counter() - t0
+        parts["srl_autoencoder_training"] = 2 * n_img / dt
+    except Exception:
+        pass
+
     value = total_steps / total_time
     print(
         json.dumps(

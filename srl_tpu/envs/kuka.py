@@ -104,6 +104,7 @@ class KukaState:
     q: jax.Array  # [7] arm joint angles
     tip: jax.Array  # [3] finger-tip position (cached FK, post contact block)
     gripper: jax.Array  # [3] gripper-link position (getArmPos anchor)
+    flange: jax.Array  # [3] flange position (cached FK — control_step input)
     ee_target: jax.Array  # [3] integrated clipped effector target
     effector_angle: jax.Array  # accumulated da (kuka.py:140)
     buttons: jax.Array  # [n_buttons, 3] button TOP positions
@@ -274,12 +275,13 @@ class KukaButtonEnv(TpuEnv):
             )
             q = kin.control_step(q, ee_target, null_space=self.null_space)
 
-        _, gripper, tip = kin.fk_points(q)
+        flange, gripper, tip = kin.fk_points(q)
         return KukaState(
             key=key,
             q=q.astype(jnp.float32),
             tip=tip.astype(jnp.float32),
             gripper=gripper.astype(jnp.float32),
+            flange=flange.astype(jnp.float32),
             ee_target=ee_target.astype(jnp.float32),
             effector_angle=jnp.float32(0.0),
             buttons=buttons.astype(jnp.float32),
@@ -334,8 +336,8 @@ class KukaButtonEnv(TpuEnv):
         # finger tip would sink below the supporting surface (the same
         # position-rollback model the reference MobileRobot uses for walls,
         # mobile_robot_env.py:235-267).
-        def blocked(q_old, tip_old, grip_old, q_new):
-            _, grip_new, tip_new = kin.fk_points(q_new)
+        def blocked(q_old, tip_old, grip_old, fl_old, q_new):
+            fl_new, grip_new, tip_new = kin.fk_points(q_new)
             xy = jnp.linalg.norm(buttons[:, :2] - tip_new[None, :2], axis=1)
             floor = jnp.where(
                 jnp.any(xy <= BUTTON_CAP_RADIUS),
@@ -347,15 +349,18 @@ class KukaButtonEnv(TpuEnv):
                 jnp.where(penet, q_old, q_new),
                 jnp.where(penet, tip_old, tip_new),
                 jnp.where(penet, grip_old, grip_new),
+                jnp.where(penet, fl_old, fl_new),
             )
 
-        q, tip, gripper = state.q, state.tip, state.gripper
+        q, tip, gripper, flange = state.q, state.tip, state.gripper, state.flange
         if self.action_joints:
             d_theta = DELTA_THETA + jax.random.normal(k_noise, ()) * NOISE_STD_JOINTS
             q_target = jnp.asarray(action, jnp.float32) * d_theta + state.q
             ee_target = state.ee_target
             for _ in range(self.action_repeat):
-                q, tip, gripper = blocked(q, tip, gripper, kin.servo_step(q, q_target))
+                q, tip, gripper, flange = blocked(
+                    q, tip, gripper, flange, kin.servo_step(q, q_target)
+                )
         else:
             delta = self._action_to_delta(k_noise, action)
             ee_target = jnp.clip(
@@ -364,9 +369,13 @@ class KukaButtonEnv(TpuEnv):
                 jnp.asarray(self._ws_hi),
             )
             for _ in range(self.action_repeat):
-                q, tip, gripper = blocked(
-                    q, tip, gripper,
-                    kin.control_step(q, ee_target, null_space=self.null_space),
+                # p_cur = the flange cached from the previous (blocked) FK —
+                # the same fk(q)[3] control_step would recompute, halving
+                # the FK work per step.
+                q, tip, gripper, flange = blocked(
+                    q, tip, gripper, flange,
+                    kin.control_step(q, ee_target, null_space=self.null_space,
+                                     p_cur=flange),
                 )
 
         step_count = state.step_count + self.action_repeat
@@ -514,6 +523,7 @@ class KukaButtonEnv(TpuEnv):
             q=q,
             tip=tip,
             gripper=gripper,
+            flange=flange,
             ee_target=ee_target,
             buttons=buttons,
             button_speed=button_speed,

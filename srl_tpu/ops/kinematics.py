@@ -343,15 +343,21 @@ def ik_down_limited(target_pos: jax.Array) -> jax.Array:
 TASK_STEP = 0.002
 
 
-def control_step(q: jax.Array, ee_target: jax.Array, null_space: bool = False) -> jax.Array:
+def control_step(q: jax.Array, ee_target: jax.Array, null_space: bool = False,
+                 p_cur: jax.Array = None) -> jax.Array:
     """IK + servo: one full applyAction+stepSimulation of the reference.
 
     The commanded configuration is the closed-form down-orientation IK of an
     intermediate target TASK_STEP ahead of the *current* flange position, so
     the tip tracks the straight task-space path like PyBullet's
     incrementally re-solved IK; the velocity-capped servo preserves the
-    reference arm's position-control lag."""
-    p_cur = fk(q)[3]
+    reference arm's position-control lag.
+
+    ``p_cur`` may pass the caller's cached flange position fk(q)[3] (the env
+    step already has it from the contact-rollback FK) to skip recomputing
+    the chain — bit-identical, it is the same function of the same q."""
+    if p_cur is None:
+        p_cur = fk(q)[3]
     delta = ee_target - p_cur
     dist = jnp.linalg.norm(delta) + 1e-9
     t_int = p_cur + delta * (jnp.minimum(dist, TASK_STEP) / dist)
