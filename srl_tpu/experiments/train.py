@@ -141,11 +141,18 @@ def configure_env_and_log_folder(args, env_kwargs: dict):
                 models.get("log_folder", ""), path
             )
 
-    log_dir = os.path.join(
-        args.log_dir, args.env, args.srl_model, args.algo,
-        datetime.now().strftime("%y-%m-%d_%Hh%M_%S"),
-    )
-    os.makedirs(log_dir, exist_ok=True)
+    if getattr(args, "resume", None):
+        # Resuming reuses the original run's directory verbatim; creating a
+        # fresh timestamped dir here would collide with the original run when
+        # both land in the same wall-clock second (the reference instead
+        # sleeps 1 s to dodge collisions, rl_baselines/train.py:104-106).
+        log_dir = args.resume
+    else:
+        log_dir = os.path.join(
+            args.log_dir, args.env, args.srl_model, args.algo,
+            datetime.now().strftime("%y-%m-%d_%Hh%M_%S"),
+        )
+        os.makedirs(log_dir, exist_ok=True)
     return log_dir, env_kwargs
 
 
@@ -333,9 +340,6 @@ def main(argv=None):
         env_kwargs["is_discrete"] = False
 
     log_dir, env_kwargs = configure_env_and_log_folder(args, env_kwargs)
-    if args.resume:
-        os.rmdir(log_dir)  # fresh timestamped dir is unused on resume
-        log_dir = args.resume
     printGreen(f"Log dir: {log_dir}")
 
     # Config snapshots (train.py:282-283).

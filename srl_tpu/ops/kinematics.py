@@ -95,8 +95,11 @@ def fk(q: jax.Array):
     env step — under vmap each tiny batched matmul was its own kernel thunk
     (~42 per step with the contact-rollback second FK), whose dispatch
     overhead dominated the Kuka step; the scalar form fuses into the single
-    elementwise kernel with everything else. Same operations in the same
-    per-element order as the generic Rodrigues+matmul chain on these axes."""
+    elementwise kernel with everything else. Numerically equivalent to the
+    generic Rodrigues+matmul chain within float32 rounding (the golden Kuka
+    fingerprints pass at atol 2e-5), not bit-identical: the Rodrigues form
+    computes diagonal terms as 1+(1-c)(-1) and accumulates via dot products,
+    so individual entries can differ by a few ulps."""
     base = jnp.asarray(BASE_POS)
     px, py, pz = base[0], base[1], base[2]
     one = jnp.ones_like(q[0])

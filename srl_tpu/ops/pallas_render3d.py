@@ -327,7 +327,9 @@ def _make_kernel(eye, n_buttons: int, n_pts: int, n_distract: int,
             d_rad = 0.5 * jnp.sqrt(
                 (dhi[0] - dlo[0]) ** 2 + (dhi[1] - dlo[1]) ** 2
                 + (dhi[2] - dlo[2]) ** 2
-            ) + 0.04
+            ) + 0.06  # >= DISTRACTOR_RADIUS (0.05) + slack, like the arm
+            # group's ARM_LINK_RADIUS + 0.01 pad: the bound must cover the
+            # outermost sphere's surface, not just its center.
 
             @pl.when(rows_overlap(dcx, dcy, dcz, d_rad))
             def _distractors():
@@ -362,9 +364,12 @@ def _camera_planes(which: str, height: int, width: int):
 
     eye, dirs = r3._kuka_camera(which, height, width)
     dirs = np.asarray(dirs, np.float32)
-    yaw, pitch = (145.0, -36.0) if which == "main" else (32.0, -13.0)
-    fwd, _, up = camera_basis(yaw, pitch, 0.0)
-    tan_half = float(np.tan(np.radians(60.0) / 2.0))
+    # Derive the cull basis from the same camera tuple the renderer uses.
+    _, _, yaw, pitch, roll, fov = r3.KUKA_CAMERAS[
+        "main" if which == "main" else "second"
+    ]
+    fwd, _, up = camera_basis(yaw, pitch, roll)
+    tan_half = float(np.tan(np.radians(fov) / 2.0))
     basis = (tuple(float(v) for v in fwd), tuple(float(v) for v in up),
              tan_half)
     return (

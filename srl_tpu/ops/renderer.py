@@ -26,7 +26,6 @@ import numpy as np
 # Colors (linear 0..1, shaded flat — the top-down sun of TinyRenderer).
 GROUND_LIGHT = np.array([0.93, 0.93, 0.93], np.float32)
 GROUND_DARK = np.array([0.78, 0.78, 0.78], np.float32)
-VOID_COLOR = np.array([0.55, 0.65, 0.8], np.float32)  # sky, for rays off-plane
 WALL_COLORS = {
     "left": np.array([0.8, 0.0, 0.0], np.float32),  # red
     "bottom": np.array([0.05, 0.05, 0.05], np.float32),  # black (default)
@@ -86,7 +85,6 @@ def _mobile_robot_static(dim: int, height: int, width: int):
     xs = np.broadcast_to(xs_row[None, :], (height, width))
     ys = np.broadcast_to(ys_col[:, None], (height, width))
     grid = np.stack([xs, ys], axis=-1).astype(np.float32)
-    valid = np.ones((height, width), bool)  # top-down rays all hit the plane
 
     # Checkerboard ground (plane.urdf's checker texture).
     checker = ((np.floor(xs / 0.5) + np.floor(ys / 0.5)) % 2).astype(np.float32)
@@ -96,7 +94,7 @@ def _mobile_robot_static(dim: int, height: int, width: int):
     )
 
     def paint_box(img, cx, cy, hx, hy, color):
-        mask = (np.abs(xs - cx) <= hx) & (np.abs(ys - cy) <= hy) & valid
+        mask = (np.abs(xs - cx) <= hx) & (np.abs(ys - cy) <= hy)
         return np.where(mask[..., None], color[None, None], img)
 
     # Walls (mobile_robot_env.py:189-204; 1D has only the left wall,
@@ -107,7 +105,6 @@ def _mobile_robot_static(dim: int, height: int, width: int):
         bg = paint_box(bg, 2.0, 4.0, 2.0, WALL_HALF_W, WALL_COLORS["right"])
         bg = paint_box(bg, 0.0, 2.0, WALL_HALF_W, 2.0, WALL_COLORS["top"])
 
-    bg = np.where(valid[..., None], bg, VOID_COLOR[None, None])
     return grid, bg.astype(np.float32)
 
 

@@ -171,13 +171,22 @@ def _fold(prims, eye, dirs, background):
     return img
 
 
+# Single source of truth for the Kuka cameras; the Pallas tile-cull basis
+# (pallas_render3d._camera_planes) derives from these same tuples so the two
+# renderers can never silently diverge.
+# "main": kuka_button_gym_env.py:94-102,386-395; "second": multi_view :401-409.
+KUKA_CAMERAS = {
+    "main": ((0.316, -0.2, -0.1), 1.1, 145.0, -36.0, 0.0, 60.0),
+    "second": ((0.316, 0.316, -0.105), 1.05, 32.0, -13.0, 0.0, 60.0),
+}
+
+
 @lru_cache(maxsize=8)
 def _kuka_camera(which: str, height: int, width: int):
-    if which == "main":
-        # kuka_button_gym_env.py:94-102,386-395
-        return pixel_rays((0.316, -0.2, -0.1), 1.1, 145.0, -36.0, 0.0, 60.0, width, height)
-    # second camera for multi_view (:401-409)
-    return pixel_rays((0.316, 0.316, -0.105), 1.05, 32.0, -13.0, 0.0, 60.0, width, height)
+    target, dist, yaw, pitch, roll, fov = KUKA_CAMERAS[
+        "main" if which == "main" else "second"
+    ]
+    return pixel_rays(target, dist, yaw, pitch, roll, fov, width, height)
 
 
 def _render_kuka_view(env, state, which: str) -> jax.Array:
