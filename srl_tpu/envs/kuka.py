@@ -146,7 +146,17 @@ class KukaButtonEnv(TpuEnv):
         max_steps: int = None,
         noise_std: float = NOISE_STD,
         null_space: bool = False,
+        render_scale: int = 2,
     ):
+        # Coarse-trace factor for the ray-traced pixel paths: rays are
+        # traced at (H/render_scale, W/render_scale) and nearest-upsampled
+        # to the 224x224 observation (the reference's PyBullet camera,
+        # kuka_button_gym_env.py:396-398, renders natively at 224 but the
+        # scene is ~20 smooth primitives — the coarse trace quarters the
+        # per-frame ray math at render_scale=2). Set render_scale=1 for the
+        # exact full-resolution trace.
+        assert RENDER_HEIGHT % render_scale == 0, "scale must divide 224"
+        self.render_scale = int(render_scale)
         self.null_space = null_space
         self.n_buttons = n_buttons
         self.moving_button = moving_button

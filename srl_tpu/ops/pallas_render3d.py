@@ -29,22 +29,43 @@ from jax.experimental.pallas import tpu as pltpu
 
 from srl_tpu.ops import renderer3d as r3
 
-BH = 32  # rows per grid program
 BIG = r3.BIG
 
 
-def _shade_composite(state, t, nx, ny, nz, color):
-    """Lambertian shade + min-depth composite into (t_best, r, g, b)."""
-    t_best, r, g, b = state
-    lx, ly, lz = (float(v) for v in r3.LIGHT_DIR)
-    lam = jnp.clip(nx * lx + ny * ly + nz * lz, 0.0, 1.0)
-    sh = 0.45 + 0.55 * lam
+def _pick_bh(layout_rows: int) -> int:
+    """Largest row-block size <= 32 dividing the layout height. Mosaic
+    requires the sublane block dim to be a multiple of 8 (or the full
+    array dim), so fall back to one whole-image block otherwise."""
+    if layout_rows <= 64:
+        # One whole-image block: the ~21-primitive scalar setup then
+        # amortizes over the full image instead of per row-block (measured
+        # 124k -> see below at 112x112 trace), and the packed image still
+        # fits VMEM comfortably (56x224 f32 x ~10 planes = 500 KB).
+        return layout_rows
+    for bh in (32, 24, 16, 8):
+        if layout_rows % bh == 0:
+            return bh
+    return layout_rows
+
+
+def _composite(state, t, nx, ny, nz, color):
+    """Deferred min-depth composite into (t_best, nx, ny, nz, r, g, b).
+
+    Shading is applied ONCE at the end of the kernel to the winning
+    primitive's (normal, albedo) instead of per primitive — 8 vector ops
+    per primitive here vs ~16 for shade-then-composite, on ~20 primitives."""
+    t_best, bnx, bny, bnz, r, g, b = state
     closer = t < t_best
     cr, cg, cb = (float(c) for c in color)
-    r = jnp.where(closer, sh * cr, r)
-    g = jnp.where(closer, sh * cg, g)
-    b = jnp.where(closer, sh * cb, b)
-    return jnp.minimum(t, t_best), r, g, b
+    return (
+        jnp.minimum(t, t_best),
+        jnp.where(closer, nx, bnx),
+        jnp.where(closer, ny, bny),
+        jnp.where(closer, nz, bnz),
+        jnp.where(closer, cr, r),
+        jnp.where(closer, cg, g),
+        jnp.where(closer, cb, b),
+    )
 
 
 def _hit_floor(eye, dx, dy, dz, z):
@@ -157,10 +178,19 @@ def _hit_cylinder_body(eye, dx, dy, dz, ax, ay, az, bx, by, bz, radius):
 
 def _make_kernel(eye, n_buttons: int, n_pts: int, n_distract: int,
                  z_table: float, base_radius: float, base_top: float,
-                 cap_radius: float, cap_top: float, cam_basis, height: int):
+                 cap_radius: float, cap_top: float, cam_basis,
+                 trace_h: int, pack: int):
     """Build the scene kernel for a static env config. Scene row layout:
     [pts (n_pts*3) | buttons (n_buttons*2) | distractors (n_distract*3) |
     ball (3 if n_distract)].
+
+    The traced image is [trace_h, trace_w] but the kernel operates on a
+    PACKED layout [trace_h/pack, trace_w*pack]: each layout row holds
+    ``pack`` consecutive traced rows side by side in the lane dimension, so
+    a coarse 112x112 trace still fills all 224 lanes (a (BH, 112) tile
+    would waste 1/8 of the VPU on lane padding). All per-pixel math is
+    elementwise, so the layout is invisible to it; only the row-culling
+    bound maps layout rows back to traced rows.
 
     Tile-level primitive culling: the arm capsules, joint spheres and
     distractors each occupy a small screen band, so each (row-block, env)
@@ -170,25 +200,25 @@ def _make_kernel(eye, n_buttons: int, n_pts: int, n_distract: int,
     interval of u/w over the bounding box u ∈ [u_c−r, u_c+r],
     w ∈ [depth−r, depth+r] (u = up-component, w = forward depth of any hit
     point), so a culled primitive provably has no ray hit in the tile —
-    kept-primitive math is unchanged and output equals the uncull ed kernel.
-    Composite state (t_best, rgb) lives in VMEM scratch so skipped
-    primitives cost only the scalar test. Measured v5e, 224x224 batch 256:
-    46k -> see module history in docs/PARITY.md."""
+    kept-primitive math is unchanged and output equals the unculled kernel.
+    Composite state (t_best, normal, albedo) lives in VMEM scratch so
+    skipped primitives cost only the scalar test."""
     fwd, up, tan_half = cam_basis
     fx, fy, fz = (float(v) for v in fwd)
     ux, uy, uz = (float(v) for v in up)
     ex, ey, ez = (float(v) for v in eye)
     th = float(tan_half)
-    half_h = height / 2.0
+    half_h = trace_h / 2.0
 
     def kernel(scene_ref, dx_ref, dy_ref, dz_ref, out_ref,
-               t_ref, r_ref, g_ref, b_ref):
+               t_ref, nx_ref, ny_ref, nz_ref, r_ref, g_ref, b_ref):
         scene = scene_ref[pl.program_id(1)]
         dx = dx_ref[0]
         dy = dy_ref[0]
         dz = dz_ref[0]
-        row0 = pl.program_id(0) * dx.shape[0]
-        row1 = row0 + dx.shape[0] - 1
+        # Traced-row interval covered by this block of layout rows.
+        row0 = pl.program_id(0) * dx.shape[0] * pack
+        row1 = row0 + dx.shape[0] * pack - 1
 
         def rows_overlap(cx, cy, cz, rad):
             """Conservative scalar test: can a ray through this tile's rows
@@ -212,9 +242,15 @@ def _make_kernel(eye, n_buttons: int, n_pts: int, n_distract: int,
             return near | ((r_min <= row1) & (r_max >= row0))
 
         sky = r3.SKY_COLOR
+        light = r3.LIGHT_DIR
         t_best = jnp.full(dx.shape, BIG, jnp.float32)
+        # Sky "normal" = 1.01 * light dir, so the deferred shade factor
+        # clips lam to exactly 1.0 and the sky color passes through unshaded.
         st = (
             t_best,
+            jnp.full(dx.shape, float(light[0]) * 1.01, jnp.float32),
+            jnp.full(dx.shape, float(light[1]) * 1.01, jnp.float32),
+            jnp.full(dx.shape, float(light[2]) * 1.01, jnp.float32),
             jnp.full(dx.shape, float(sky[0]), jnp.float32),
             jnp.full(dx.shape, float(sky[1]), jnp.float32),
             jnp.full(dx.shape, float(sky[2]), jnp.float32),
@@ -224,14 +260,14 @@ def _make_kernel(eye, n_buttons: int, n_pts: int, n_distract: int,
         t = _hit_floor(eye, dx, dy, dz, r3.FLOOR_Z)
         one = jnp.ones_like(t)
         zero = jnp.zeros_like(t)
-        st = _shade_composite(st, t, zero, zero, one, r3.FLOOR_COLOR)
+        st = _composite(st, t, zero, zero, one, r3.FLOOR_COLOR)
 
         # Table box.
         t, nx, ny, nz = _hit_aabb(
             eye, dx, dy, dz, tuple(map(float, r3.TABLE_CENTER)),
             tuple(map(float, r3.TABLE_HALF)),
         )
-        st = _shade_composite(st, t, nx, ny, nz, r3.TABLE_COLOR)
+        st = _composite(st, t, nx, ny, nz, r3.TABLE_COLOR)
 
         # Buttons: base cylinder + cap (always near the view center —
         # unculled).
@@ -243,16 +279,15 @@ def _make_kernel(eye, n_buttons: int, n_pts: int, n_distract: int,
             t, nx, ny, nz = _hit_vcylinder(
                 eye, dx, dy, dz, bx, by, base_radius, z_table, base_top
             )
-            st = _shade_composite(st, t, nx, ny, nz, r3.BUTTON_GREEN)
+            st = _composite(st, t, nx, ny, nz, r3.BUTTON_GREEN)
             t, nx, ny, nz = _hit_vcylinder(
                 eye, dx, dy, dz, bx, by, cap_radius, base_top, cap_top
             )
-            st = _shade_composite(st, t, nx, ny, nz, cap_colors[min(i, 1)])
+            st = _composite(st, t, nx, ny, nz, cap_colors[min(i, 1)])
 
-        t_ref[...] = st[0]
-        r_ref[...] = st[1]
-        g_ref[...] = st[2]
-        b_ref[...] = st[3]
+        refs = (t_ref, nx_ref, ny_ref, nz_ref, r_ref, g_ref, b_ref)
+        for ref, plane in zip(refs, st):
+            ref[...] = plane
 
         # Group-level culling: one pl.when per primitive GROUP, with the
         # composite state flowing through registers inside the group. A
@@ -285,7 +320,7 @@ def _make_kernel(eye, n_buttons: int, n_pts: int, n_distract: int,
 
         @pl.when(rows_overlap(cx, cy, cz, arm_rad))
         def _arm():
-            st = (t_ref[...], r_ref[...], g_ref[...], b_ref[...])
+            st = tuple(ref[...] for ref in refs)
             # Capsule bodies, then one shared sphere per joint (adjacent
             # capsules' cap spheres coincide: n_pts sphere tests, not
             # 2*n_seg).
@@ -298,18 +333,16 @@ def _make_kernel(eye, n_buttons: int, n_pts: int, n_distract: int,
                 t, nx, ny, nz = _hit_cylinder_body(
                     eye, dx, dy, dz, ax, ay, az, bx2, by2, bz2, radius
                 )
-                st = _shade_composite(st, t, nx, ny, nz, seg_color[i])
+                st = _composite(st, t, nx, ny, nz, seg_color[i])
             for i in range(n_pts):
                 radius = r3.ARM_LINK_RADIUS if i < n_pts - 1 else 0.035
                 t, nx, ny, nz = _hit_sphere(
                     eye, dx, dy, dz, pxs[i], pys[i], pzs[i], radius
                 )
-                st = _shade_composite(st, t, nx, ny, nz,
-                                      seg_color[max(i - 1, 0)])
-            t_ref[...] = st[0]
-            r_ref[...] = st[1]
-            g_ref[...] = st[2]
-            b_ref[...] = st[3]
+                st = _composite(st, t, nx, ny, nz,
+                                seg_color[max(i - 1, 0)])
+            for ref, plane in zip(refs, st):
+                ref[...] = plane
 
         # Distractor spheres + kicked ball: all sit on the table plane, so
         # one group bound (their xy spread is small) covers them.
@@ -333,27 +366,31 @@ def _make_kernel(eye, n_buttons: int, n_pts: int, n_distract: int,
 
             @pl.when(rows_overlap(dcx, dcy, dcz, d_rad))
             def _distractors():
-                st = (t_ref[...], r_ref[...], g_ref[...], b_ref[...])
+                st = tuple(ref[...] for ref in refs)
                 for i in range(n_distract):
                     # radius = kuka.DISTRACTOR_RADIUS: the rendered size
                     # must match the contact model's pushback radius.
                     t, nx, ny, nz = _hit_sphere(
                         eye, dx, dy, dz, dxs[i], dys[i], dzs[i], 0.05
                     )
-                    st = _shade_composite(st, t, nx, ny, nz,
-                                          r3.DISTRACTOR_COLOR)
+                    st = _composite(st, t, nx, ny, nz,
+                                    r3.DISTRACTOR_COLOR)
                 t, nx, ny, nz = _hit_sphere(
                     eye, dx, dy, dz, dxs[-1], dys[-1], dzs[-1], 0.03
                 )
-                st = _shade_composite(st, t, nx, ny, nz, r3.BALL_COLOR)
-                t_ref[...] = st[0]
-                r_ref[...] = st[1]
-                g_ref[...] = st[2]
-                b_ref[...] = st[3]
+                st = _composite(st, t, nx, ny, nz, r3.BALL_COLOR)
+                for ref, plane in zip(refs, st):
+                    ref[...] = plane
 
-        out_ref[0, 0] = jnp.clip(r_ref[...] * 255.0 + 0.5, 0, 255)
-        out_ref[0, 1] = jnp.clip(g_ref[...] * 255.0 + 0.5, 0, 255)
-        out_ref[0, 2] = jnp.clip(b_ref[...] * 255.0 + 0.5, 0, 255)
+        # Deferred Lambertian shade of the winning primitive, once.
+        lx, ly, lz = (float(v) for v in r3.LIGHT_DIR)
+        lam = jnp.clip(
+            nx_ref[...] * lx + ny_ref[...] * ly + nz_ref[...] * lz, 0.0, 1.0
+        )
+        sh = 0.45 + 0.55 * lam
+        out_ref[0, 0] = jnp.clip(sh * r_ref[...] * 255.0 + 0.5, 0, 255)
+        out_ref[0, 1] = jnp.clip(sh * g_ref[...] * 255.0 + 0.5, 0, 255)
+        out_ref[0, 2] = jnp.clip(sh * b_ref[...] * 255.0 + 0.5, 0, 255)
 
     return kernel
 
@@ -382,14 +419,24 @@ def _camera_planes(which: str, height: int, width: int):
 @partial(jax.jit, static_argnums=(0, 1))
 def _render_batch(config, which, scene):
     (n_buttons, n_pts, n_distract, z_table, base_radius, base_top,
-     cap_radius, cap_top, height, width) = config
-    eye, dx_np, dy_np, dz_np, cam_basis = _camera_planes(which, height, width)
+     cap_radius, cap_top, height, width, scale) = config
+    trace_h, trace_w = height // scale, width // scale
+    # Packed layout: `pack` consecutive traced rows side by side in lanes,
+    # so a coarse trace still fills the full lane width (see _make_kernel).
+    pack = max(1, width // trace_w)
+    lh, lw = trace_h // pack, trace_w * pack
+    bh = _pick_bh(lh)
+    eye, dx_np, dy_np, dz_np, cam_basis = _camera_planes(
+        which, trace_h, trace_w
+    )
     kernel = _make_kernel(
         eye, n_buttons, n_pts, n_distract, z_table, base_radius, base_top,
-        cap_radius, cap_top, cam_basis, height,
+        cap_radius, cap_top, cam_basis, trace_h, pack,
     )
     n = scene.shape[0]
-    n_blocks = height // BH
+    n_blocks = lh // bh
+    plane_spec = pl.BlockSpec((1, bh, lw), lambda j, i: (0, j, 0),
+                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         # Env axis innermost: the ray-plane blocks depend only on the outer
@@ -397,25 +444,23 @@ def _render_batch(config, which, scene):
         grid=(n_blocks, n),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # scene table
-            pl.BlockSpec((1, BH, width), lambda j, i: (0, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BH, width), lambda j, i: (0, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BH, width), lambda j, i: (0, j, 0),
-                         memory_space=pltpu.VMEM),
+            plane_spec, plane_spec, plane_spec,
         ],
-        out_specs=pl.BlockSpec((1, 3, BH, width), lambda j, i: (i, 0, j, 0),
+        out_specs=pl.BlockSpec((1, 3, bh, lw), lambda j, i: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 3, height, width), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((BH, width), jnp.float32)] * 4,
+        out_shape=jax.ShapeDtypeStruct((n, 3, lh, lw), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bh, lw), jnp.float32)] * 7,
         interpret=jax.default_backend() == "cpu",
     )(
         scene,
-        jnp.asarray(dx_np)[None], jnp.asarray(dy_np)[None],
-        jnp.asarray(dz_np)[None],
+        jnp.asarray(dx_np).reshape(lh, lw)[None],
+        jnp.asarray(dy_np).reshape(lh, lw)[None],
+        jnp.asarray(dz_np).reshape(lh, lw)[None],
     )
-    # [N, 3, H, W] -> [N, H, W, 3] uint8 (one cheap transpose pass).
-    return jnp.transpose(out, (0, 2, 3, 1)).astype(jnp.uint8)
+    # Packed [N, 3, lh, lw] -> [N, trace_h, trace_w, 3] uint8 -> upsample.
+    out = out.reshape(n, 3, trace_h, trace_w)
+    img = jnp.transpose(out, (0, 2, 3, 1)).astype(jnp.uint8)
+    return r3.upsample_nearest(img, scale)
 
 
 def _scene_table(env, states) -> tuple:
@@ -448,7 +493,7 @@ def _scene_table(env, states) -> tuple:
         env.n_buttons, n_pts, n_distract, float(Z_TABLE),
         float(BUTTON_BASE_RADIUS), float(BUTTON_BASE_TOP),
         float(BUTTON_CAP_RADIUS), float(BUTTON_CAP_TOP),
-        RENDER_HEIGHT, RENDER_WIDTH,
+        RENDER_HEIGHT, RENDER_WIDTH, int(getattr(env, "render_scale", 1)),
     )
     return config, scene
 

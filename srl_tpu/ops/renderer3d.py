@@ -189,11 +189,29 @@ def _kuka_camera(which: str, height: int, width: int):
     return pixel_rays(target, dist, yaw, pitch, roll, fov, width, height)
 
 
+def upsample_nearest(img: jax.Array, s: int) -> jax.Array:
+    """[..., H, W, C] -> [..., H*s, W*s, C] nearest-neighbour upsample via
+    broadcast+reshape (no gathers — a plain copy on TPU)."""
+    if s == 1:
+        return img
+    *lead, h, w, c = img.shape
+    out = jnp.broadcast_to(
+        img[..., :, None, :, None, :], (*lead, h, s, w, s, c)
+    )
+    return out.reshape(*lead, h * s, w * s, c)
+
+
 def _render_kuka_view(env, state, which: str) -> jax.Array:
     from srl_tpu.envs.kuka import RENDER_HEIGHT, RENDER_WIDTH, Z_TABLE
     from srl_tpu.ops import kinematics as kin
 
-    eye_np, dirs_np = _kuka_camera(which, RENDER_HEIGHT, RENDER_WIDTH)
+    # Coarse-trace factor (same trick as the CarRacing coarse field): rays
+    # are traced at H/s x W/s and nearest-upsampled to the observation
+    # resolution. s=1 is the exact full-resolution path.
+    scale = int(getattr(env, "render_scale", 1))
+    eye_np, dirs_np = _kuka_camera(
+        which, RENDER_HEIGHT // scale, RENDER_WIDTH // scale
+    )
     eye = jnp.asarray(eye_np)
     dirs = jnp.asarray(dirs_np)
 
@@ -248,7 +266,8 @@ def _render_kuka_view(env, state, which: str) -> jax.Array:
         prims.append(_hit_sphere(eye, dirs, state.ball[:3], 0.03) + (BALL_COLOR,))
 
     img = _fold(prims, eye, dirs, SKY_COLOR)
-    return jnp.clip(img * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    img = jnp.clip(img * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    return upsample_nearest(img, scale)
 
 
 def render_kuka(env, state) -> jax.Array:

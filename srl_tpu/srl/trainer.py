@@ -200,7 +200,16 @@ class SRLTrainer:
         epochs: int = 5,
         batch_size: int = 64,
         log_fn=None,
+        updates_per_call: int = 8,
     ) -> Dict:
+        """Train for `epochs` passes over the transition pairs.
+
+        `updates_per_call` fuses that many minibatch SGD steps into one
+        device dispatch (a lax.scan over a [K, B] index matrix). On the
+        tunneled v5e the per-minibatch dispatch floor capped AE training at
+        ~507 img/s while a whole-epoch scan was slower still (333 img/s,
+        3x compile); K=8 is the middle ground — the scan body compiles once
+        (same cost as the single step) and dispatch cost amortizes 8x."""
         obs = np.asarray(dataset["observations"])
         actions = np.asarray(dataset["actions"])
         rewards = np.asarray(dataset["rewards"], np.float32)
@@ -223,33 +232,40 @@ class SRLTrainer:
         self.params = self._init_full(k_init, batch0)
 
         opt_state = self.tx.init(self.params)
-        train_step = self._jit_train_step()
         # Upload the dataset to the device ONCE and gather minibatches by
         # index inside the jitted step. Re-slicing on the host shipped
         # ~2x batch x 150 KB of pixels per step through the host->device
         # link — on a tunneled TPU that transfer alone capped training at
-        # ~150 imgs/s; device-resident data moves only the [B] index
-        # vector per step.
+        # ~150 imgs/s; device-resident data moves only the [K, B] index
+        # matrix per dispatch.
         obs_dev = jnp.asarray(obs)
         actions_dev = jnp.asarray(actions_idx)
         rewards_dev = jnp.asarray(rewards)
         gt_dev = jnp.asarray(gt)
         params = self.params
         history = []
+        b_eff = min(batch_size, len(idx))
+        if b_eff < 2:
+            raise ValueError("dataset has fewer than 2 transition pairs")
+        n_batches = len(idx) // b_eff
+        # Chunk the epoch's minibatches into fused scans of k_main steps
+        # plus one remainder scan; both shapes are stable across epochs so
+        # at most two step graphs compile per fit.
+        k_main = max(1, min(int(updates_per_call), n_batches))
+        n_chunks, rem = divmod(n_batches, k_main)
         for epoch in range(epochs):
             rng.shuffle(idx)
-            n_batches = max(len(idx) // batch_size, 1)
+            mat = idx[: n_batches * b_eff].reshape(n_batches, b_eff)
             epoch_logs = None
-            for b in range(n_batches):
-                bidx = idx[b * batch_size : (b + 1) * batch_size]
-                if len(bidx) < 2:
-                    continue
+            for c in range(n_chunks + (1 if rem else 0)):
+                k = k_main if c < n_chunks else rem
+                rows = mat[c * k_main : c * k_main + k]
                 key, sub = jax.random.split(key)
-                params, opt_state, logs = train_step(
+                keys = jax.random.split(sub, k)
+                params, opt_state, epoch_logs = self._jit_train_step_k(k)(
                     params, opt_state, obs_dev, actions_dev, rewards_dev,
-                    gt_dev, jnp.asarray(bidx), sub,
+                    gt_dev, jnp.asarray(rows), keys,
                 )
-                epoch_logs = logs
             if epoch_logs is not None:
                 history.append({k: float(v) for k, v in epoch_logs.items()})
                 if log_fn:
@@ -257,35 +273,42 @@ class SRLTrainer:
         self.params = params
         return {"history": history}
 
-    def _jit_train_step(self):
-        """Jitted SGD step, cached across fit() calls — re-wrapping a fresh
-        closure in jax.jit per fit re-traces and re-compiles the whole
-        encoder+heads graph (~30 s for the 224x224 CNN), which dominated
-        repeated fits (measured 109 imgs/s with the per-fit jit vs the
-        compiled step's real throughput)."""
-        cached = getattr(self, "_train_step_cache", None)
-        if cached is not None:
-            return cached
+    def _jit_train_step_k(self, k: int):
+        """Jitted K-fused SGD step (lax.scan over K minibatches per device
+        call), cached per K across fit() calls — re-wrapping a fresh closure
+        in jax.jit per fit re-traces and re-compiles the whole encoder+heads
+        graph (~30 s for the 224x224 CNN), which dominated repeated fits
+        (measured 109 imgs/s with the per-fit jit vs the compiled step's
+        real throughput). The scan body compiles once regardless of K."""
+        cache = getattr(self, "_train_step_cache", None)
+        if cache is None:
+            cache = self._train_step_cache = {}
+        if k in cache:
+            return cache[k]
 
-        # One jitted call per minibatch; the dataset arrays live on device
-        # and the step gathers its batch by index. (A scan-the-whole-epoch
-        # variant was measured SLOWER on the tunneled v5e — 333 vs 507
-        # imgs/s — and triples the CPU-tier compile time, so per-step
-        # dispatch stays.)
         @jax.jit
-        def train_step(params, opt_state, obs, actions, rewards, gt, bidx,
-                       key):
-            batch = (obs[bidx], obs[bidx + 1], actions[bidx], rewards[bidx],
-                     gt[bidx])
-            (loss, logs), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
-                params, batch, key
-            )
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, logs
+        def train_step_k(params, opt_state, obs, actions, rewards, gt,
+                         bidx_mat, keys):
+            def body(carry, xs):
+                params, opt_state = carry
+                bidx, key = xs
+                batch = (obs[bidx], obs[bidx + 1], actions[bidx],
+                         rewards[bidx], gt[bidx])
+                (loss, logs), grads = jax.value_and_grad(
+                    self._loss_fn, has_aux=True
+                )(params, batch, key)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), logs
 
-        self._train_step_cache = train_step
-        return train_step
+            (params, opt_state), logs = jax.lax.scan(
+                body, (params, opt_state), (bidx_mat, keys)
+            )
+            last = jax.tree.map(lambda x: x[-1], logs)
+            return params, opt_state, last
+
+        cache[k] = train_step_k
+        return train_step_k
 
     def _make_batch(self, obs, obs_all, actions, rewards, gt, bidx):
         return (
