@@ -208,14 +208,19 @@ class PPO2(BaseRLAgent):
         def epoch(carry, k_epoch):
             params, opt_state = carry
             perm = jax.random.permutation(k_epoch, batch_size)
-            shuffled = jax.tree.map(lambda x: x[perm], data)
 
             def minibatch_step(carry, mb_idx):
                 params, opt_state = carry
-                mb = jax.tree.map(
-                    lambda x: jax.lax.dynamic_slice_in_dim(x, mb_idx * mb_size, mb_size),
-                    shuffled,
+                # Gather each minibatch by permuted indices instead of
+                # materializing a full shuffled copy of `data`: for pixel
+                # rollouts the [T*N, 224, 224, 3] slab is GBs, and the
+                # extra shuffled copy was what capped the pixel loop at
+                # 128 envs on 16 GB HBM. Same indices, same minibatches —
+                # bit-identical updates.
+                idxs = jax.lax.dynamic_slice_in_dim(
+                    perm, mb_idx * mb_size, mb_size
                 )
+                mb = jax.tree.map(lambda x: x[idxs], data)
                 (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
                     params, mb, cfg.cliprange
                 )

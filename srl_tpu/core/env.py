@@ -130,6 +130,16 @@ class VecEnv:
     in the Transition.
     """
 
+    def __new__(cls, env, num_envs: int, *args, **kwargs):
+        # Mixed-family configs (core/mixed_env.MixedEnv) vectorize as
+        # per-family slices, not one vmap — dispatch transparently so every
+        # agent's ``VecEnv(env, n)`` supports heterogeneous batches.
+        if cls is VecEnv and getattr(env, "is_mixed_family", False):
+            from srl_tpu.core.mixed_env import MixedVecEnv
+
+            return super().__new__(MixedVecEnv)
+        return super().__new__(cls)
+
     def __init__(self, env: TpuEnv, num_envs: int):
         self.env = env
         self.num_envs = num_envs
