@@ -374,10 +374,16 @@ def main(argv=None):
             from srl_tpu.agents.acer import RecurrentACER
 
             algo_class = RecurrentACER
+        elif args.algo == "acktr":
+            from srl_tpu.agents.acktr import RecurrentACKTR
+
+            algo_class = RecurrentACKTR
         else:
+            # TRPO/PPO1 genuinely have no recurrent policies upstream
+            # (stable-baselines raises for LstmPolicy there too).
             raise AssertionError(
                 "Error: recurrent policies are currently supported for "
-                "ppo2, a2c and acer"
+                "ppo2, a2c, acer and acktr"
             )
 
     kwargs = {}

@@ -184,3 +184,53 @@ def test_train_cli_lstm_policy(tmp_path):
     import os
 
     assert os.path.exists(os.path.join(log_dir, "args.json"))
+
+
+@pytest.mark.fast
+def test_recurrent_acktr_smoke(tmp_path):
+    from srl_tpu.agents.acktr import ACKTRConfig, RecurrentACKTR
+
+    env = MobileRobotEnv(max_steps=30)
+    cfg = ACKTRConfig(n_steps=8)
+    agent = RecurrentACKTR(env=env, num_envs=4, policy="lstm", config=cfg)
+    state = agent.learn(total_timesteps=8 * 4 * 4, seed=0)
+    assert int(state.update_idx) == 4
+    assert np.all(np.isfinite(np.asarray(
+        jax.tree.leaves(state.params)[0])))
+
+    obs = np.zeros((2, 2), np.float32)
+    a1 = agent.getAction(obs, deterministic=True)
+    assert a1.shape == (2,)
+    p = agent.getActionProba(obs)
+    np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-5)
+
+    path = str(tmp_path / "acktr_lstm.pkl")
+    agent.save(path)
+    loaded = RecurrentACKTR.load(path, env=MobileRobotEnv())
+    np.testing.assert_allclose(loaded.getActionProba(obs), p, atol=1e-6)
+
+
+@pytest.mark.fast
+def test_recurrent_acktr_lnlstm_variant():
+    from srl_tpu.agents.acktr import ACKTRConfig, RecurrentACKTR
+
+    env = MobileRobotEnv(max_steps=20)
+    agent = RecurrentACKTR(env=env, num_envs=4, policy="lnlstm",
+                           config=ACKTRConfig(n_steps=8))
+    agent.learn(total_timesteps=8 * 4 * 2, seed=0)
+
+
+@pytest.mark.fast
+def test_train_cli_acktr_lstm_policy(tmp_path):
+    import os
+
+    from srl_tpu.experiments.train import main as train_main
+
+    log_dir = train_main([
+        "--algo", "acktr", "--env", "MobileRobotGymEnv-v0",
+        "--srl-model", "ground_truth", "--policy", "lstm",
+        "--num-timesteps", "200", "--log-dir", str(tmp_path),
+        "--num-envs", "4", "--no-vis",
+        "--hyperparam", "n_steps:8",
+    ])
+    assert os.path.exists(os.path.join(log_dir, "args.json"))
