@@ -382,15 +382,22 @@ def _make_kernel(eye, n_buttons: int, n_pts: int, n_distract: int,
                 for ref, plane in zip(refs, st):
                     ref[...] = plane
 
-        # Deferred Lambertian shade of the winning primitive, once.
+        # Deferred Lambertian shade of the winning primitive, once; store
+        # uint8 directly (the f32 image would cost 4x the HBM writeback and
+        # a second pass to convert).
         lx, ly, lz = (float(v) for v in r3.LIGHT_DIR)
         lam = jnp.clip(
             nx_ref[...] * lx + ny_ref[...] * ly + nz_ref[...] * lz, 0.0, 1.0
         )
         sh = 0.45 + 0.55 * lam
-        out_ref[0, 0] = jnp.clip(sh * r_ref[...] * 255.0 + 0.5, 0, 255)
-        out_ref[0, 1] = jnp.clip(sh * g_ref[...] * 255.0 + 0.5, 0, 255)
-        out_ref[0, 2] = jnp.clip(sh * b_ref[...] * 255.0 + 0.5, 0, 255)
+        def to_u8(x):
+            # Mosaic has no direct f32->u8 cast; round-trip through int32
+            # (values already clipped to [0, 255]).
+            return jnp.clip(x, 0, 255).astype(jnp.int32).astype(jnp.uint8)
+
+        out_ref[0, 0] = to_u8(sh * r_ref[...] * 255.0 + 0.5)
+        out_ref[0, 1] = to_u8(sh * g_ref[...] * 255.0 + 0.5)
+        out_ref[0, 2] = to_u8(sh * b_ref[...] * 255.0 + 0.5)
 
     return kernel
 
@@ -448,7 +455,7 @@ def _render_batch(config, which, scene):
         ],
         out_specs=pl.BlockSpec((1, 3, bh, lw), lambda j, i: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 3, lh, lw), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, 3, lh, lw), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((bh, lw), jnp.float32)] * 7,
         interpret=jax.default_backend() == "cpu",
     )(
@@ -459,7 +466,7 @@ def _render_batch(config, which, scene):
     )
     # Packed [N, 3, lh, lw] -> [N, trace_h, trace_w, 3] uint8 -> upsample.
     out = out.reshape(n, 3, trace_h, trace_w)
-    img = jnp.transpose(out, (0, 2, 3, 1)).astype(jnp.uint8)
+    img = jnp.transpose(out, (0, 2, 3, 1))
     return r3.upsample_nearest(img, scale)
 
 
