@@ -185,12 +185,13 @@ def _make_kernel(eye, n_buttons: int, n_pts: int, n_distract: int,
     ball (3 if n_distract)].
 
     The traced image is [trace_h, trace_w] but the kernel operates on a
-    PACKED layout [trace_h/pack, trace_w*pack]: each layout row holds
-    ``pack`` consecutive traced rows side by side in the lane dimension, so
-    a coarse 112x112 trace still fills all 224 lanes (a (BH, 112) tile
-    would waste 1/8 of the VPU on lane padding). All per-pixel math is
+    PACKED layout [trace_h*trace_w/128, 128]: the flattened pixel stream
+    cut into exact 128-lane rows (112x112 = 98x128, 224x224 = 392x128), so
+    no lane is ever padding — a (BH, 224) tile would pad to 256 lanes and
+    waste 1/8 of the VPU, a (BH, 112) tile 1/8 more. All per-pixel math is
     elementwise, so the layout is invisible to it; only the row-culling
-    bound maps layout rows back to traced rows.
+    bound maps layout rows back to traced rows (``pack`` = trace_w, the
+    divisor from flat pixel index to traced row).
 
     Tile-level primitive culling: the arm capsules, joint spheres and
     distractors each occupy a small screen band, so each (row-block, env)
@@ -210,15 +211,18 @@ def _make_kernel(eye, n_buttons: int, n_pts: int, n_distract: int,
     th = float(tan_half)
     half_h = trace_h / 2.0
 
-    def kernel(scene_ref, dx_ref, dy_ref, dz_ref, out_ref,
+    def kernel(scene_ref, dx_ref, dy_ref, dz_ref, bg_ref, out_ref,
                t_ref, nx_ref, ny_ref, nz_ref, r_ref, g_ref, b_ref):
         scene = scene_ref[pl.program_id(1)]
         dx = dx_ref[0]
         dy = dy_ref[0]
         dz = dz_ref[0]
-        # Traced-row interval covered by this block of layout rows.
-        row0 = pl.program_id(0) * dx.shape[0] * pack
-        row1 = row0 + dx.shape[0] * pack - 1
+        # Traced-row interval covered by this block: flat pixel range
+        # [px0, px1] divided by the traced width (= `pack`).
+        px0 = pl.program_id(0) * dx.shape[0] * dx.shape[1]
+        px1 = px0 + dx.shape[0] * dx.shape[1] - 1
+        row0 = px0 // pack
+        row1 = px1 // pack
 
         def rows_overlap(cx, cy, cz, rad):
             """Conservative scalar test: can a ray through this tile's rows
@@ -241,33 +245,12 @@ def _make_kernel(eye, n_buttons: int, n_pts: int, n_distract: int,
             near = depth <= rad + 0.05  # behind/straddling camera: keep
             return near | ((r_min <= row1) & (r_max >= row0))
 
-        sky = r3.SKY_COLOR
-        light = r3.LIGHT_DIR
-        t_best = jnp.full(dx.shape, BIG, jnp.float32)
-        # Sky "normal" = 1.01 * light dir, so the deferred shade factor
-        # clips lam to exactly 1.0 and the sky color passes through unshaded.
-        st = (
-            t_best,
-            jnp.full(dx.shape, float(light[0]) * 1.01, jnp.float32),
-            jnp.full(dx.shape, float(light[1]) * 1.01, jnp.float32),
-            jnp.full(dx.shape, float(light[2]) * 1.01, jnp.float32),
-            jnp.full(dx.shape, float(sky[0]), jnp.float32),
-            jnp.full(dx.shape, float(sky[1]), jnp.float32),
-            jnp.full(dx.shape, float(sky[2]), jnp.float32),
-        )
-
-        # Floor plane.
-        t = _hit_floor(eye, dx, dy, dz, r3.FLOOR_Z)
-        one = jnp.ones_like(t)
-        zero = jnp.zeros_like(t)
-        st = _composite(st, t, zero, zero, one, r3.FLOOR_COLOR)
-
-        # Table box.
-        t, nx, ny, nz = _hit_aabb(
-            eye, dx, dy, dz, tuple(map(float, r3.TABLE_CENTER)),
-            tuple(map(float, r3.TABLE_HALF)),
-        )
-        st = _composite(st, t, nx, ny, nz, r3.TABLE_COLOR)
+        # Static background (sky + floor + table): entirely camera-fixed,
+        # so its deferred-composite state (t, normal, albedo) is
+        # precomputed once per config (_background_planes) and streamed in
+        # as 7 planes — the floor/AABB intersection math never runs on the
+        # hot path.
+        st = tuple(bg_ref[0, i] for i in range(7))
 
         # Buttons: base cylinder + cap (always near the view center —
         # unculled).
@@ -403,6 +386,49 @@ def _make_kernel(eye, n_buttons: int, n_pts: int, n_distract: int,
 
 
 @lru_cache(maxsize=8)
+def _background_planes(which: str, height: int, width: int) -> np.ndarray:
+    """[7, H, W] f32 deferred-composite state (t, normal, albedo) of the
+    camera-static background: sky init + floor + table, computed with the
+    SAME helper ops the kernel would run (bit-compatible values).
+
+    Called during _render_batch's trace, so force compile-time (eager)
+    evaluation — these are config constants, not per-call work."""
+    with jax.ensure_compile_time_eval():
+        return _background_planes_impl(which, height, width)
+
+
+def _background_planes_impl(which: str, height: int, width: int) -> np.ndarray:
+    eye_np, dirs_np = r3._kuka_camera(which, height, width)
+    eye = jnp.asarray(np.asarray(eye_np, np.float32))
+    dirs = jnp.asarray(np.asarray(dirs_np, np.float32))
+    dx, dy, dz = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    sky = r3.SKY_COLOR
+    light = r3.LIGHT_DIR
+    t_best = jnp.full(dx.shape, BIG, jnp.float32)
+    # Sky "normal" = 1.01 * light dir: the deferred shade factor clips lam
+    # to exactly 1.0 so the sky color passes through unshaded.
+    st = (
+        t_best,
+        jnp.full(dx.shape, float(light[0]) * 1.01, jnp.float32),
+        jnp.full(dx.shape, float(light[1]) * 1.01, jnp.float32),
+        jnp.full(dx.shape, float(light[2]) * 1.01, jnp.float32),
+        jnp.full(dx.shape, float(sky[0]), jnp.float32),
+        jnp.full(dx.shape, float(sky[1]), jnp.float32),
+        jnp.full(dx.shape, float(sky[2]), jnp.float32),
+    )
+    t = _hit_floor(eye, dx, dy, dz, r3.FLOOR_Z)
+    one = jnp.ones_like(t)
+    zero = jnp.zeros_like(t)
+    st = _composite(st, t, zero, zero, one, r3.FLOOR_COLOR)
+    t, nx, ny, nz = _hit_aabb(
+        eye, dx, dy, dz, tuple(map(float, r3.TABLE_CENTER)),
+        tuple(map(float, r3.TABLE_HALF)),
+    )
+    st = _composite(st, t, nx, ny, nz, r3.TABLE_COLOR)
+    return np.stack([np.asarray(p, np.float32) for p in st])
+
+
+@lru_cache(maxsize=8)
 def _camera_planes(which: str, height: int, width: int):
     from srl_tpu.ops.camera import camera_basis
 
@@ -428,10 +454,13 @@ def _render_batch(config, which, scene):
     (n_buttons, n_pts, n_distract, z_table, base_radius, base_top,
      cap_radius, cap_top, height, width, scale) = config
     trace_h, trace_w = height // scale, width // scale
-    # Packed layout: `pack` consecutive traced rows side by side in lanes,
-    # so a coarse trace still fills the full lane width (see _make_kernel).
-    pack = max(1, width // trace_w)
-    lh, lw = trace_h // pack, trace_w * pack
+    # Packed layout: the flat pixel stream as exact 128-lane rows, zero
+    # lane padding (see _make_kernel). `pack` carries trace_w for the
+    # flat-index -> traced-row cull mapping.
+    n_px = trace_h * trace_w
+    assert n_px % 128 == 0, "traced image must flatten to 128-lane rows"
+    pack = trace_w
+    lh, lw = n_px // 128, 128
     bh = _pick_bh(lh)
     eye, dx_np, dy_np, dz_np, cam_basis = _camera_planes(
         which, trace_h, trace_w
@@ -444,6 +473,7 @@ def _render_batch(config, which, scene):
     n_blocks = lh // bh
     plane_spec = pl.BlockSpec((1, bh, lw), lambda j, i: (0, j, 0),
                               memory_space=pltpu.VMEM)
+    bg = _background_planes(which, trace_h, trace_w).reshape(7, lh, lw)
     out = pl.pallas_call(
         kernel,
         # Env axis innermost: the ray-plane blocks depend only on the outer
@@ -452,6 +482,8 @@ def _render_batch(config, which, scene):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # scene table
             plane_spec, plane_spec, plane_spec,
+            pl.BlockSpec((1, 7, bh, lw), lambda j, i: (0, 0, j, 0),
+                         memory_space=pltpu.VMEM),  # background state
         ],
         out_specs=pl.BlockSpec((1, 3, bh, lw), lambda j, i: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
@@ -463,6 +495,7 @@ def _render_batch(config, which, scene):
         jnp.asarray(dx_np).reshape(lh, lw)[None],
         jnp.asarray(dy_np).reshape(lh, lw)[None],
         jnp.asarray(dz_np).reshape(lh, lw)[None],
+        jnp.asarray(bg)[None],
     )
     # Packed [N, 3, lh, lw] -> [N, trace_h, trace_w, 3] uint8 -> upsample.
     out = out.reshape(n, 3, trace_h, trace_w)
