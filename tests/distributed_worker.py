@@ -13,6 +13,7 @@ import sys
 pid = int(sys.argv[1])
 port = sys.argv[2]
 n_updates = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+mode = sys.argv[4] if len(sys.argv) > 4 else "mobile"
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
@@ -32,6 +33,32 @@ from srl_tpu.parallel import distributed as dist  # noqa: E402
 from srl_tpu.parallel.mesh import shard_ppo_state  # noqa: E402
 
 
+def make_agent(mode: str) -> PPO2:
+    """The test configuration, shared with test_distributed's reference.
+
+    "mobile": the ground-truth quickstart config. "mixed": the pod config —
+    a mixed Kuka+OmniRobot raw-pixels batch feeding one CNN PPO learner
+    (BASELINE.json configs[4]), tiny shapes so CPU BPTT stays fast."""
+    if mode == "mixed":
+        from srl_tpu.core.mixed_env import MixedEnv
+        from srl_tpu.envs.kuka import KukaButtonEnv
+        from srl_tpu.envs.omnirobot import OmniRobotEnv
+
+        return PPO2(
+            env=MixedEnv([
+                KukaButtonEnv(srl_model="raw_pixels"),
+                OmniRobotEnv(srl_model="raw_pixels"),
+            ]),
+            num_envs=8,
+            config=PPOConfig(n_steps=2, nminibatches=2, noptepochs=1),
+        )
+    return PPO2(
+        env=MobileRobotEnv(),
+        num_envs=8,
+        config=PPOConfig(n_steps=8, nminibatches=2, noptepochs=1),
+    )
+
+
 def main():
     ok = dist.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
     assert ok, "multi-process runtime failed to initialize"
@@ -46,11 +73,7 @@ def main():
     lo, hi = dist.local_env_slice(8)
     assert (lo, hi) == (pid * 4, pid * 4 + 4)
 
-    agent = PPO2(
-        env=MobileRobotEnv(),
-        num_envs=8,
-        config=PPOConfig(n_steps=8, nminibatches=2, noptepochs=1),
-    )
+    agent = make_agent(mode)
     state = agent.init_state(jax.random.PRNGKey(0), n_updates=max(2, n_updates))
     state = shard_ppo_state(state, mesh)
     jit_iter = jax.jit(agent.train_iteration)

@@ -37,7 +37,7 @@ def _parse_curve(line_output: str, tag: str) -> np.ndarray:
     raise AssertionError(f"no {tag} line in output:\n{line_output}")
 
 
-def _launch_workers(port: int, n_updates: int = 1):
+def _launch_workers(port: int, n_updates: int = 1, mode: str = "mobile"):
     here = os.path.dirname(os.path.abspath(__file__))
     worker = os.path.join(here, "distributed_worker.py")
     env = dict(os.environ)
@@ -45,7 +45,7 @@ def _launch_workers(port: int, n_updates: int = 1):
     env.pop("JAX_PLATFORMS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), str(port), str(n_updates)],
+            [sys.executable, worker, str(i), str(port), str(n_updates), mode],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
@@ -55,7 +55,7 @@ def _launch_workers(port: int, n_updates: int = 1):
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=600)
+        out, err = p.communicate(timeout=900)
         assert p.returncode == 0, f"worker failed:\nSTDOUT:\n{out}\nSTDERR:\n{err}"
         outs.append(out)
     return outs
@@ -165,3 +165,29 @@ def test_two_process_learning_curve_matches_single_process():
     pg_2, rew_2 = _single_process_curve(2, n_updates)
     np.testing.assert_allclose(pg_2, pg_ref, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(rew_2, rew_ref, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_two_process_mixed_family_ppo_matches_single_process():
+    """Pod config over DCN: a mixed Kuka+OmniRobot raw-pixels batch
+    (core/mixed_env.py) trains under a two-process 4-device global mesh and
+    matches the single-process run of the same mesh (BASELINE.json
+    configs[4]: mixed envs over N>=2 hosts feeding one sharded learner)."""
+    outs = _launch_workers(_free_port(), n_updates=1, mode="mixed")
+
+    pg = [_parse(o, "PGLOSS") for o in outs]
+    pnorm = [_parse(o, "PNORM") for o in outs]
+    assert pg[0] == pg[1], f"processes disagree on pg_loss: {pg}"
+    assert pnorm[0] == pnorm[1], f"processes disagree on param norm: {pnorm}"
+
+    import importlib
+
+    worker_mod = importlib.import_module("tests.distributed_worker")
+    from srl_tpu.parallel.mesh import make_mesh, shard_ppo_state
+
+    agent = worker_mod.make_agent("mixed")
+    state = agent.init_state(jax.random.PRNGKey(0), n_updates=2)
+    state = shard_ppo_state(state, make_mesh(n_devices=4, tp=1))
+    new_state, metrics = jax.jit(agent.train_iteration)(state)
+    ref_pg = float(metrics["pg_loss"])
+    np.testing.assert_allclose(pg[0], ref_pg, rtol=1e-4, atol=1e-6)
