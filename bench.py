@@ -105,10 +105,10 @@ def main():
     try:
         from srl_tpu.envs.kuka import KukaButtonEnv
 
-        # 512 envs measured best for the coarse-trace (render_scale=2)
-        # Pallas path (256: 158k, 512: 162k, 1024: 152k f/s, r4 probes).
+        # 640 envs measured best for the coarse-trace (render_scale=2)
+        # Pallas path (512: 186k, 640: 191k, 768: 188k f/s, r4 probes).
         steps, dt = bench_env(
-            KukaButtonEnv(srl_model="raw_pixels"), num_envs=512, n_steps=32,
+            KukaButtonEnv(srl_model="raw_pixels"), num_envs=640, n_steps=32,
             n_iters=3,
         )
         parts["kuka_button_raw_pixels"] = steps / dt

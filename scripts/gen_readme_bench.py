@@ -28,7 +28,7 @@ ROWS = [
     ("car_racing_raw_pixels",
      "CarRacing 224x224 rendered obs (1024)", 250.0),
     ("kuka_button_raw_pixels",
-     "KukaButton 224x224 ray-traced obs, Pallas (512)", 250.0),
+     "KukaButton 224x224 ray-traced obs, Pallas (640)", 250.0),
     ("ppo2_training_full_loop",
      "**Full PPO2 training loop** (2048 envs, one jit)", 278.0),
     ("ppo2_training_full_loop_pixels",
