@@ -177,23 +177,24 @@ def main():
         from srl_tpu.agents.ppo import PPO2, PPOConfig
         from srl_tpu.envs.kuka import KukaButtonEnv
 
-        # 128 envs: the largest batch whose rollout slab + f32 minibatch
-        # conversions fit 16 GB HBM (256 envs OOMs); 2.6x the steps/s of a
-        # 64-env run because the 4096-frame minibatches keep the MXU busy.
+        # 256 envs fit since the PPO update stopped materializing a full
+        # shuffled copy of the uint8 rollout slab (per-minibatch index
+        # gathers instead): 128 envs 7.9k, 256 envs 11.1k steps/s (r4
+        # probes; 512 crashes the tunnel's remote compiler).
         agent = PPO2(
             env=KukaButtonEnv(srl_model="raw_pixels"),
-            num_envs=128,
+            num_envs=256,
             config=PPOConfig(n_steps=128),
         )
         # Warm with the SAME horizon as the timed call: the lr-anneal
         # schedule (and therefore the cached jitted step) is keyed on the
         # update count, so equal horizons make the timed learn() a pure
         # cache-hit steady-state measurement.
-        agent.learn(total_timesteps=128 * 128 * 3, seed=0)  # compile+warm
+        agent.learn(total_timesteps=128 * 256 * 3, seed=0)  # compile+warm
         t0 = time.perf_counter()
-        agent.learn(total_timesteps=128 * 128 * 3, seed=0)
+        agent.learn(total_timesteps=128 * 256 * 3, seed=0)
         dt = time.perf_counter() - t0
-        parts["ppo2_training_full_loop_pixels"] = 128 * 128 * 3 / dt
+        parts["ppo2_training_full_loop_pixels"] = 128 * 256 * 3 / dt
     except Exception:
         pass
 
