@@ -63,8 +63,17 @@ class NatureCnnTorso(nn.Module):
         x = nn.relu(conv(32, 8, 4, "c1")(x))
         x = nn.relu(conv(64, 4, 2, "c2")(x))
         x = nn.relu(conv(64, 3, 1, "c3")(x))
-        x = x.reshape((x.shape[0], -1)).astype(jnp.float32)
-        x = nn.relu(_dense(512, name="fc")(x))
+        x = x.reshape((x.shape[0], -1))
+        # fc512 is the single largest matmul in the net ([B, 36864] x
+        # [36864, 512] at 224x224 input) — keep it on the MXU in bf16 like
+        # the convs; params and the torso output stay float32.
+        x = nn.relu(nn.Dense(
+            512,
+            kernel_init=nn.initializers.orthogonal(ORTHO_GAIN),
+            bias_init=nn.initializers.zeros_init(),
+            dtype=jnp.bfloat16,
+            name="fc",
+        )(x)).astype(jnp.float32)
         return x
 
 

@@ -373,7 +373,11 @@ def settled_rest_q(n_steps: int = 500) -> np.ndarray:
     settle steps toward the rest end-effector target
     (kuka_button_gym_env.py:242-247). Identical for every episode, so it is
     computed once on the host CPU and baked in as a constant."""
-    cpu = jax.devices("cpu")[0]
+    # local_devices, not devices: in a multi-process runtime jax.devices()
+    # is the GLOBAL list, and picking [0] from another process would pin
+    # the constant to a non-addressable device (jit then refuses to close
+    # over it).
+    cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         target = jnp.asarray(REST_EE_TARGET)
 

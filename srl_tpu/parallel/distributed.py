@@ -82,6 +82,37 @@ def make_global_mesh(dp: Optional[int] = None, tp: int = 1) -> Mesh:
     return Mesh(np.array(devices).reshape(dp, tp), ("dp", "tp"))
 
 
+def warmup_collectives(mesh: Mesh) -> None:
+    """Establish the cross-host collective context while processes are
+    still in lockstep.
+
+    The CPU (gloo) backend creates its communicator on FIRST use with a
+    hard 30 s key-value handshake timeout. If the first collective only
+    happens after per-process work whose duration varies by more than that
+    — e.g. eagerly compiling a pixel-env reset during ``init_state``, which
+    takes minutes on a shared CPU host — the faster process times out
+    waiting for the slower one and the run dies with
+    ``Gloo context initialization failed: DEADLINE_EXCEEDED``. Running one
+    trivial psum over the full mesh immediately after ``make_global_mesh``
+    (when all processes are within milliseconds of each other) creates the
+    communicator up front; later collectives reuse it and block without
+    the handshake deadline."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.devices.size
+    x = jax.device_put(
+        jnp.zeros(n, jnp.float32),
+        NamedSharding(mesh, P(*mesh.axis_names[:1])),
+    )
+
+    @jax.jit
+    def _sum(v):
+        return jnp.sum(v)
+
+    jax.block_until_ready(_sum(x))
+
+
 def local_env_slice(
     global_num_envs: int,
     process_id: Optional[int] = None,

@@ -66,6 +66,10 @@ def main():
     assert len(jax.devices()) == 4, jax.devices()
 
     mesh = dist.make_global_mesh(tp=1)
+    # Create the gloo communicator while processes are in lockstep — the
+    # mixed-pixel config's eager env-reset compiles desynchronize workers
+    # past gloo's 30 s first-use handshake deadline otherwise.
+    dist.warmup_collectives(mesh)
     assert mesh.shape == {"dp": 4, "tp": 1}
     # dp ordering is host-contiguous: first two devices belong to process 0.
     assert [d.process_index for d in mesh.devices.ravel().tolist()] == [0, 0, 1, 1]
@@ -111,6 +115,10 @@ def main():
     print(f"PGLOSS {pg:.8f} PNORM {params_norm:.8f}", flush=True)
     print("PGCURVE " + ",".join(f"{v:.8e}" for v in pg_curve), flush=True)
     print("RCURVE " + ",".join(f"{v:.8e}" for v in rew_curve), flush=True)
+    # Rejoin before exiting: compile-time skew between workers (minutes for
+    # the mixed-pixel CNN graphs on a shared CPU host) would otherwise blow
+    # the runtime's fixed shutdown-barrier deadline.
+    multihost_utils.sync_global_devices("srl_tpu_worker_done")
 
 
 if __name__ == "__main__":

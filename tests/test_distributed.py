@@ -180,12 +180,21 @@ def test_two_process_mixed_family_ppo_matches_single_process():
     assert pg[0] == pg[1], f"processes disagree on pg_loss: {pg}"
     assert pnorm[0] == pnorm[1], f"processes disagree on param norm: {pnorm}"
 
-    import importlib
-
-    worker_mod = importlib.import_module("tests.distributed_worker")
+    from srl_tpu.agents.ppo import PPO2, PPOConfig
+    from srl_tpu.core.mixed_env import MixedEnv
+    from srl_tpu.envs.kuka import KukaButtonEnv
+    from srl_tpu.envs.omnirobot import OmniRobotEnv
     from srl_tpu.parallel.mesh import make_mesh, shard_ppo_state
 
-    agent = worker_mod.make_agent("mixed")
+    # Same configuration as distributed_worker.make_agent("mixed").
+    agent = PPO2(
+        env=MixedEnv([
+            KukaButtonEnv(srl_model="raw_pixels"),
+            OmniRobotEnv(srl_model="raw_pixels"),
+        ]),
+        num_envs=8,
+        config=PPOConfig(n_steps=2, nminibatches=2, noptepochs=1),
+    )
     state = agent.init_state(jax.random.PRNGKey(0), n_updates=2)
     state = shard_ppo_state(state, make_mesh(n_devices=4, tp=1))
     new_state, metrics = jax.jit(agent.train_iteration)(state)
