@@ -42,7 +42,10 @@ def _pick_bh(layout_rows: int) -> int:
         # 124k -> see below at 112x112 trace), and the packed image still
         # fits VMEM comfortably (56x224 f32 x ~10 planes = 500 KB).
         return layout_rows
-    for bh in (32, 24, 16, 8):
+    # Prefer LARGE blocks (>= ~7k px): the per-program scalar setup is the
+    # dominant per-block cost. Mosaic needs the sublane block dim to be a
+    # multiple of 8 (or the full array dim).
+    for bh in (64, 56, 48, 40, 32, 24, 16, 8):
         if layout_rows % bh == 0:
             return bh
     return layout_rows

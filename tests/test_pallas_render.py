@@ -51,6 +51,27 @@ def test_pallas_kuka_render_matches_xla(variant):
     assert (diff > 2).mean() < 0.005
 
 
+def test_pallas_kuka_fullres_scale1():
+    """render_scale=1 keeps the exact full-resolution trace on both paths
+    (the coarse default is render_scale=2; the exact path must not rot)."""
+    from srl_tpu.envs.kuka import KukaButtonEnv
+    from srl_tpu.ops.pallas_render3d import render_kuka_pallas
+    from srl_tpu.ops.renderer3d import render_kuka
+
+    env = KukaButtonEnv(srl_model="raw_pixels", render_scale=1)
+    states = jax.vmap(env.reset)(jax.random.split(jax.random.PRNGKey(3), 2))
+    ref = np.asarray(jax.vmap(lambda s: render_kuka(env, s))(states))
+    pal = np.asarray(render_kuka_pallas(env, states))
+    assert ref.shape == pal.shape == (2, 224, 224, 3)
+    diff = np.abs(ref.astype(int) - pal.astype(int))
+    assert (diff == 0).mean() > 0.995
+    # And the coarse trace approximates the exact one (scene structure
+    # intact, only silhouette edges differ).
+    env2 = KukaButtonEnv(srl_model="raw_pixels", render_scale=2)
+    coarse = np.asarray(jax.vmap(lambda s: render_kuka(env2, s))(states))
+    assert (np.abs(coarse.astype(int) - ref.astype(int)) <= 8).mean() > 0.9
+
+
 @pytest.mark.fast
 def test_pallas_kuka_multiview():
     from srl_tpu.envs.kuka import KukaButtonEnv
