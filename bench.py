@@ -114,6 +114,23 @@ def main():
         parts["kuka_button_raw_pixels"] = steps / dt
     except Exception:
         pass
+    # The pod configuration's env side at single-chip scale (BASELINE.json
+    # configs[4]: "8192+ mixed Kuka/Omnirobot envs"): one heterogeneous
+    # batch, Kuka ray-traced + OmniRobot composited pixels, stepped in
+    # lockstep under one jit (core/mixed_env.py).
+    try:
+        from srl_tpu.core.mixed_env import MixedEnv
+        from srl_tpu.envs.kuka import KukaButtonEnv
+        from srl_tpu.envs.omnirobot import OmniRobotEnv
+
+        mixed = MixedEnv([
+            KukaButtonEnv(srl_model="raw_pixels"),
+            OmniRobotEnv(srl_model="raw_pixels"),
+        ])
+        steps, dt = bench_env(mixed, num_envs=8192, n_steps=8, n_iters=3)
+        parts["mixed_family_raw_pixels_8192"] = steps / dt
+    except Exception:
+        pass
     # CarRacing: full Box2D-equivalent car dynamics + track tiles in JAX
     # (car_env.py semantics; ground-truth observation mode).
     try:

@@ -29,6 +29,9 @@ ROWS = [
      "CarRacing 224x224 rendered obs (1024)", 250.0),
     ("kuka_button_raw_pixels",
      "KukaButton 224x224 ray-traced obs, Pallas (640)", 250.0),
+    ("mixed_family_raw_pixels_8192",
+     "Mixed Kuka+OmniRobot pixel batch — the pod config's env side (8192)",
+     250.0),
     ("ppo2_training_full_loop",
      "**Full PPO2 training loop** (2048 envs, one jit)", 278.0),
     ("ppo2_training_full_loop_pixels",
