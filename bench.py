@@ -196,8 +196,8 @@ def main():
 
         # 256 envs fit since the PPO update stopped materializing a full
         # shuffled copy of the uint8 rollout slab (per-minibatch index
-        # gathers instead): 128 envs 7.9k, 256 envs 11.1k steps/s (r4
-        # probes; 512 crashes the tunnel's remote compiler).
+        # gathers instead): 13.9k steps/s measured quiet-host (bf16 fc512;
+        # 384 envs OOMs HBM, 512 crashes the tunnel's remote compiler).
         agent = PPO2(
             env=KukaButtonEnv(srl_model="raw_pixels"),
             num_envs=256,
