@@ -181,7 +181,8 @@ class ACKTR(BaseRLAgent):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 
-    def _forward_cnn(self, params, x):
+    def _cnn_features(self, params, x):
+        """Conv stack + avg-pool + flatten; returns (flat, conv acts)."""
         x = x.astype(jnp.float32) / 255.0
         xb = x.astype(jnp.bfloat16)
         h1 = jax.nn.relu(self._conv(xb, params["C1"], 4)
@@ -196,12 +197,16 @@ class ACKTR(BaseRLAgent):
             (1, p, p, 1), (1, p, p, 1), "VALID",
         ) / (p * p)
         flat = pooled.reshape(pooled.shape[0], -1)
+        acts = {"C1": x, "C2": h1.astype(jnp.float32),
+                "C3": h2.astype(jnp.float32), "Wfc": flat}
+        return flat, acts
+
+    def _forward_cnn(self, params, x):
+        flat, acts = self._cnn_features(params, x)
         latent = jax.nn.relu(flat @ params["Wfc"] + params["bfc"])
         logits = latent @ params["Wpi"] + params["bpi"]
         value = (latent @ params["Wv"] + params["bv"])[..., 0]
-        acts = {"C1": x, "C2": h1.astype(jnp.float32),
-                "C3": h2.astype(jnp.float32), "Wfc": flat,
-                "Wpi": latent, "Wv": latent}
+        acts.update({"Wpi": latent, "Wv": latent})
         return logits, value, acts
 
     def _fisher_G(self, params, obs_sub, key):
@@ -644,23 +649,8 @@ class RecurrentACKTR(ACKTR):
     def _torso(self, params, x):
         """(features e, torso acts dict)."""
         if self.is_cnn:
-            x_f = x.astype(jnp.float32) / 255.0
-            xb = x_f.astype(jnp.bfloat16)
-            h1 = jax.nn.relu(self._conv(xb, params["C1"], 4)
-                             + params["cb1"].astype(jnp.bfloat16))
-            h2 = jax.nn.relu(self._conv(h1, params["C2"], 2)
-                             + params["cb2"].astype(jnp.bfloat16))
-            h3 = jax.nn.relu(self._conv(h2, params["C3"], 1)
-                             + params["cb3"].astype(jnp.bfloat16))
-            p = self.pool
-            pooled = jax.lax.reduce_window(
-                h3.astype(jnp.float32), 0.0, jax.lax.add,
-                (1, p, p, 1), (1, p, p, 1), "VALID",
-            ) / (p * p)
-            flat = pooled.reshape(pooled.shape[0], -1)
+            flat, acts = self._cnn_features(params, x)
             e = jax.nn.relu(flat @ params["Wfc"] + params["bfc"])
-            acts = {"C1": x_f, "C2": h1.astype(jnp.float32),
-                    "C3": h2.astype(jnp.float32), "Wfc": flat}
             return e, acts
         x2d = x.reshape(x.shape[0], -1)
         e = jnp.tanh(x2d @ params["W1"] + params["b1"])
