@@ -162,26 +162,31 @@ def main():
         from srl_tpu.agents.ppo import PPO2, PPOConfig
         from srl_tpu.envs.mobile_robot import MobileRobotEnv
 
+        # 4096 envs measured best (2048: 1.7M, 4096: 1.9M, 8192: 1.6M
+        # steps/s, r4 probes — bigger minibatch matmuls up to the point
+        # where the rollout slab's HBM traffic dominates).
+        n_loop = 4096
+        loop_steps = 128 * n_loop * 8
         agent = PPO2(
             env=MobileRobotEnv(srl_model="ground_truth"),
-            num_envs=2048,
+            num_envs=n_loop,
             config=PPOConfig(n_steps=128),
         )
         # Warm up with the same shape (compile), then time the cached call.
-        agent.learn(total_timesteps=128 * 2048 * 8, seed=0)
+        agent.learn(total_timesteps=loop_steps, seed=0)
         t0 = time.perf_counter()
-        agent.learn(total_timesteps=128 * 2048 * 8, seed=0)
+        agent.learn(total_timesteps=loop_steps, seed=0)
         dt = time.perf_counter() - t0
-        parts["ppo2_training_full_loop"] = 128 * 2048 * 8 / dt
+        parts["ppo2_training_full_loop"] = loop_steps / dt
 
         # Fused mode: 8 whole updates scanned inside ONE jit call
         # (--updates-per-call; host<->device sync once per chunk instead of
         # per update) — the TPU-idiomatic training configuration.
-        agent.learn(total_timesteps=128 * 2048 * 8, seed=0, updates_per_call=8)
+        agent.learn(total_timesteps=loop_steps, seed=0, updates_per_call=8)
         t0 = time.perf_counter()
-        agent.learn(total_timesteps=128 * 2048 * 8, seed=0, updates_per_call=8)
+        agent.learn(total_timesteps=loop_steps, seed=0, updates_per_call=8)
         dt = time.perf_counter() - t0
-        parts["ppo2_training_full_loop_fused8"] = 128 * 2048 * 8 / dt
+        parts["ppo2_training_full_loop_fused8"] = loop_steps / dt
     except Exception:
         pass
 

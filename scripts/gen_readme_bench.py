@@ -33,7 +33,7 @@ ROWS = [
      "Mixed Kuka+OmniRobot pixel batch — the pod config's env side (8192)",
      250.0),
     ("ppo2_training_full_loop",
-     "**Full PPO2 training loop** (2048 envs, one jit)", 278.0),
+     "**Full PPO2 training loop** (4096 envs, one jit)", 278.0),
     ("ppo2_training_full_loop_pixels",
      "**Full PPO2 training loop from pixels** (render+CNN+update in one jit)",
      278.0),
