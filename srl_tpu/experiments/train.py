@@ -148,11 +148,22 @@ def configure_env_and_log_folder(args, env_kwargs: dict):
         # sleeps 1 s to dodge collisions, rl_baselines/train.py:104-106).
         log_dir = args.resume
     else:
-        log_dir = os.path.join(
+        base = os.path.join(
             args.log_dir, args.env, args.srl_model, args.algo,
             datetime.now().strftime("%y-%m-%d_%Hh%M_%S"),
         )
-        os.makedirs(log_dir, exist_ok=True)
+        # Second-resolution timestamps collide when runs take <1 s (warm
+        # jit caches make that routine here — pipeline grids hit it); the
+        # reference sleeps a full second instead
+        # (rl_baselines/train.py:104-106). Suffix until the mkdir is ours.
+        log_dir, n = base, 1
+        while True:
+            try:
+                os.makedirs(log_dir)
+                break
+            except FileExistsError:
+                n += 1
+                log_dir = f"{base}_{n}"
     return log_dir, env_kwargs
 
 
