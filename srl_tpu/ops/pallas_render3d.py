@@ -33,9 +33,9 @@ BIG = r3.BIG
 
 
 def _pick_bh(layout_rows: int) -> int:
-    """Largest row-block size <= 32 dividing the layout height. Mosaic
-    requires the sublane block dim to be a multiple of 8 (or the full
-    array dim), so fall back to one whole-image block otherwise."""
+    """Row-block size for the packed image layout: whole-image for small
+    traces, else the largest multiple-of-8 divisor <= 64 (Mosaic requires
+    the sublane block dim to be a multiple of 8 or the full array dim)."""
     if layout_rows <= 64:
         # One whole-image block: the ~21-primitive scalar setup then
         # amortizes over the full image instead of per row-block (measured
