@@ -34,6 +34,9 @@ ROWS = [
      250.0),
     ("ppo2_training_full_loop",
      "**Full PPO2 training loop** (4096 envs, one jit)", 278.0),
+    ("ppo2_training_full_loop_fused8",
+     "**Full PPO2 training loop, fused 8 updates/dispatch** "
+     "(--updates-per-call)", 278.0),
     ("ppo2_training_full_loop_pixels",
      "**Full PPO2 training loop from pixels** (render+CNN+update in one jit)",
      278.0),
@@ -51,11 +54,16 @@ def fmt(v: float) -> str:
 
 
 def main() -> int:
-    benches = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    if len(sys.argv) > 1:
+        benches = [sys.argv[1]]
+    else:
+        benches = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
     assert benches, "no BENCH_r*.json found"
     with open(benches[-1]) as f:
         bench = json.load(f)
-    parsed = bench["parsed"]
+    # Driver files wrap the result under "parsed"; a raw bench.py output
+    # line (passed explicitly) is the result itself.
+    parsed = bench.get("parsed", bench)
     parts = dict(parsed["parts"])
     parts["__aggregate__"] = parsed["value"]
 
