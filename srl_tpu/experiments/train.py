@@ -102,6 +102,16 @@ def parse_args(argv=None):
                         default=False)
     parser.add_argument("--no-vis", action="store_true", default=False,
                         help="Disable curve plotting (PNG)")
+    parser.add_argument("--mixed-envs", type=str, nargs="+", default=None,
+                        metavar="ENV_ID",
+                        choices=list(registered_env.keys()),
+                        help="Train ONE learner on a heterogeneous batch of "
+                        "these env families (the pod configuration, e.g. "
+                        "KukaButtonGymEnv-v0 OmnirobotEnv-v0); families "
+                        "must share the observation space — raw_pixels at "
+                        "a common shape or equal-dim SRL states. Overrides "
+                        "--env for env construction; --env still names the "
+                        "log-dir family.")
     # --num-envs is contributed by every algo via customArguments
     # (BaseRLAgent.customArguments, replacing the reference's --num-cpu).
 
@@ -181,11 +191,21 @@ def latest_srl_model(args) -> str:
 def build_env(args, env_kwargs):
     from srl_tpu.envs import make_env
 
-    env_class = registered_env[args.env][0]
-    sig = inspect.signature(env_class.__init__)
-    accepted = set(sig.parameters)
-    kwargs = {k: v for k, v in env_kwargs.items() if k in accepted}
-    env = make_env(args.env, **kwargs)
+    def one_env(env_id):
+        env_class = registered_env[env_id][0]
+        sig = inspect.signature(env_class.__init__)
+        accepted = set(sig.parameters)
+        kwargs = {k: v for k, v in env_kwargs.items() if k in accepted}
+        return make_env(env_id, **kwargs)
+
+    if getattr(args, "mixed_envs", None):
+        # Pod configuration: heterogeneous families -> one learner batch
+        # (core/mixed_env.py; BASELINE.json configs[4]).
+        from srl_tpu.core.mixed_env import MixedEnv
+
+        env = MixedEnv([one_env(e) for e in args.mixed_envs])
+    else:
+        env = one_env(args.env)
 
     if env_kwargs.get("use_srl"):
         from srl_tpu.srl.models import SRLEncodedEnv, loadSRLModel

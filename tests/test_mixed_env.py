@@ -68,3 +68,19 @@ def test_mixed_ppo_trains():
     act = agent.getAction(obs, deterministic=True)
     assert np.asarray(act).shape == (2,)
     assert int(np.max(act)) < 6
+
+
+def test_train_cli_mixed_envs(tmp_path):
+    """--mixed-envs trains one learner on the heterogeneous pod batch."""
+    import os
+
+    from srl_tpu.experiments.train import main as train_main
+
+    log_dir = train_main([
+        "--algo", "ppo2", "--env", "KukaButtonGymEnv-v0",
+        "--mixed-envs", "KukaButtonGymEnv-v0", "OmnirobotEnv-v0",
+        "--srl-model", "raw_pixels", "--num-timesteps", "32",
+        "--log-dir", str(tmp_path), "--num-envs", "4", "--no-vis",
+        "--hyperparam", "n_steps:4",
+    ])
+    assert os.path.exists(os.path.join(log_dir, "args.json"))
