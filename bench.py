@@ -166,7 +166,9 @@ def main():
         # steps/s, r4 probes — bigger minibatch matmuls up to the point
         # where the rollout slab's HBM traffic dominates).
         n_loop = 4096
-        loop_steps = 128 * n_loop * 8
+        loop_steps = 128 * n_loop * 16  # 16 updates per timed call: the
+        # per-call dispatch jitter on the tunneled host made 8-update
+        # windows swing 1.3-1.9M steps/s between runs
         agent = PPO2(
             env=MobileRobotEnv(srl_model="ground_truth"),
             num_envs=n_loop,
