@@ -84,3 +84,23 @@ def test_train_cli_mixed_envs(tmp_path):
         "--hyperparam", "n_steps:4",
     ])
     assert os.path.exists(os.path.join(log_dir, "args.json"))
+
+
+@pytest.mark.fast
+def test_mixed_ground_truth_states():
+    """The other shared-obs-space option: equal-dim SRL states
+    (MobileRobot and OmniRobot ground truth are both 2-D relative
+    positions)."""
+    from srl_tpu.agents.ppo import PPO2, PPOConfig
+    from srl_tpu.envs.mobile_robot import MobileRobotEnv
+
+    env = MixedEnv([
+        MobileRobotEnv(srl_model="ground_truth"),
+        OmniRobotEnv(srl_model="ground_truth"),
+    ])
+    assert env.observation_space.shape == (2,)
+    agent = PPO2(env=env, num_envs=8,
+                 config=PPOConfig(n_steps=8, nminibatches=2, noptepochs=1))
+    agent.learn(total_timesteps=8 * 8 * 2, seed=0)
+    act = agent.getAction(np.zeros((3, 2), np.float32), deterministic=True)
+    assert np.asarray(act).shape == (3,)
