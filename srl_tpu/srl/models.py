@@ -155,3 +155,15 @@ class SRLEncodedEnv:
         pixels = self._env.render_pixels(state)
         # Polymorphic dispatch; vmap over envs batches the encoder call.
         return self._srl.encode_single(jnp.asarray(pixels))
+
+    def observe_batched(self, states):
+        """Batched render + encode. MUST be defined here: ``__getattr__``
+        would otherwise forward VecEnv's ``observe_batched`` probe to the
+        wrapped env, whose batched path (e.g. the Kuka Pallas renderer)
+        returns RAW pixels — the encoder would be silently skipped."""
+        batched = getattr(self._env, "observe_batched", None)
+        if batched is not None:
+            pixels = batched(states)
+        else:
+            pixels = jax.vmap(self._env.render_pixels)(states)
+        return self._srl.getStates(pixels)

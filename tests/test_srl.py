@@ -253,3 +253,30 @@ def test_log_rl_states(tmp_path):
     assert full["states"].shape == (4, 2)
     norm = np.load(str(tmp_path / "log_srl" / "normalized_states_rewards.npz"))
     np.testing.assert_allclose(norm["states"], full["normalized_states"])
+
+
+def test_encoded_env_batched_path_encodes(small_dataset, tmp_path):
+    """Regression: SRLEncodedEnv.observe_batched must encode — its
+    __getattr__ used to forward VecEnv's observe_batched probe to the
+    wrapped env, whose batched renderer (the Kuka Pallas path) returned
+    RAW pixels and silently skipped the encoder."""
+    import jax.numpy as jnp
+
+    from srl_tpu.core.env import VecEnv
+    from srl_tpu.envs import make_env
+
+    data, _ = small_dataset
+    trainer = SRLTrainer(state_dim=3, losses=["autoencoder"],
+                         obs_shape=(224, 224, 3))
+    trainer.fit(data, epochs=1, batch_size=16)
+    model = loadSRLModel(trainer.save(str(tmp_path / "srl")))
+
+    # Kuka DOES define observe_batched (the Pallas renderer hook).
+    env = make_env("KukaButtonGymEnv-v0", srl_model="raw_pixels")
+    wrapped = SRLEncodedEnv(env, model)
+    vec = VecEnv(wrapped, 3)
+    vstate, obs = vec.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (3, 3)
+    vstate, tr = jax.jit(vec.step)(vstate, jnp.zeros(3, jnp.int32))
+    assert tr.obs.shape == (3, 3)
+    assert np.all(np.isfinite(np.asarray(tr.obs)))
