@@ -77,6 +77,7 @@ def generate_dataset(
     n_act = getattr(env.action_space, "n", None)
 
     def pick_actions(key, vstate):
+        """Jittable policy step (runs inside the chunked rollout scan)."""
         if policy == "toward_target" and hasattr(vstate.env_state, "robot_pos"):
             # Greedy axis move toward the target (discrete mobile robot).
             pos = vstate.env_state.robot_pos
@@ -90,8 +91,14 @@ def generate_dataset(
             )
             return a.astype(jnp.int32)
         if agent is not None:
+            # Inline the trained policy (getAction is a host-level API; the
+            # same normalize + sample runs on device inside the scan).
             gt_obs = jax.vmap(agent.env.observe)(vstate.env_state)
-            return jnp.asarray(agent.getAction(np.asarray(gt_obs), key=key))
+            if agent.state.obs_norm is not None:
+                gt_obs = agent.state.obs_norm.normalize(gt_obs)
+            dist, _ = agent.policy.apply(agent.state.params, gt_obs)
+            a = dist.sample(key)
+            return a.astype(jnp.int32) if n_act is not None else a
         if n_act is not None:
             return jax.random.randint(key, (num_envs,), 0, n_act)
         return jax.random.uniform(
@@ -106,9 +113,32 @@ def generate_dataset(
         path=save_path,
     )
 
-    step = jax.jit(vec.step)
     observe_gt = jax.jit(jax.vmap(env.ground_truth))
     observe_tgt = jax.jit(jax.vmap(env.target_pos))
+
+    # Chunked rollout: CHUNK policy+env steps scanned inside ONE device
+    # dispatch, transferred to the host as one [CHUNK, N, ...] block. The
+    # per-step formulation paid a dispatch round-trip plus a ~1 MB pixel
+    # transfer per step through the (tunneled) device link — the transfer
+    # and dispatch latency, not the simulation, dominated generation.
+    CHUNK = 32
+
+    @jax.jit
+    def rollout_chunk(vstate, key):
+        def body(carry, _):
+            vstate, key = carry
+            key, sub = jax.random.split(key)
+            actions = pick_actions(sub, vstate)
+            vstate, tr = vec.step(vstate, actions)
+            gt = jax.vmap(env.ground_truth)(vstate.env_state)
+            tgt = jax.vmap(env.target_pos)(vstate.env_state)
+            return (vstate, key), (tr.obs, actions, tr.reward, tr.done, gt,
+                                   tgt)
+
+        (vstate, key), outs = jax.lax.scan(
+            body, (vstate, key), None, length=CHUNK
+        )
+        return vstate, key, outs
 
     # Record episodes from env slot 0..num_envs-1 round-robin until done.
     episodes_recorded = 0
@@ -123,28 +153,29 @@ def generate_dataset(
         buffers[i].append((np.asarray(obs[i]), None, 0.0, gts[i], tgts[i]))
 
     while episodes_recorded < num_episodes:
-        key, sub = jax.random.split(key)
-        actions = pick_actions(sub, vstate)
-        vstate, tr = step(vstate, actions)
-        total_steps += num_envs
-        gts = np.asarray(observe_gt(vstate.env_state))
-        tgts = np.asarray(observe_tgt(vstate.env_state))
-        obs_np = np.asarray(tr.obs)
-        act_np = np.asarray(actions)
-        rew_np = np.asarray(tr.reward)
-        done_np = np.asarray(tr.done)
-        for i in range(num_envs):
-            buffers[i].append((obs_np[i], act_np[i], float(rew_np[i]), gts[i], tgts[i]))
-            if done_np[i] and episodes_recorded < num_episodes:
-                # Flush episode i into the saver. The final obs belongs to the
-                # next episode (autoreset), so exclude it.
-                ep = buffers[i][:-1]
-                first_obs, _, _, gt0, tgt0 = ep[0]
-                saver.reset(first_obs, tgt0, gt0)
-                for obs_t, a_t, r_t, gt_t, _ in ep[1:]:
-                    saver.step(obs_t, a_t, r_t, False, gt_t)
-                episodes_recorded += 1
-                buffers[i] = [buffers[i][-1]]
+        vstate, key, outs = rollout_chunk(vstate, key)
+        obs_np, act_np, rew_np, done_np, gts, tgts = (
+            np.asarray(x) for x in outs
+        )
+        total_steps += CHUNK * num_envs
+        for t in range(CHUNK):
+            for i in range(num_envs):
+                buffers[i].append(
+                    (obs_np[t, i], act_np[t, i], float(rew_np[t, i]),
+                     gts[t, i], tgts[t, i])
+                )
+                if done_np[t, i] and episodes_recorded < num_episodes:
+                    # Flush episode i into the saver. The final obs belongs
+                    # to the next episode (autoreset), so exclude it.
+                    ep = buffers[i][:-1]
+                    first_obs, _, _, gt0, tgt0 = ep[0]
+                    saver.reset(first_obs, tgt0, gt0)
+                    for obs_t, a_t, r_t, gt_t, _ in ep[1:]:
+                        saver.step(obs_t, a_t, r_t, False, gt_t)
+                    episodes_recorded += 1
+                    buffers[i] = [buffers[i][-1]]
+            if episodes_recorded >= num_episodes:
+                break
 
     folder = saver.save()
     fps = total_steps / max(time.time() - t_start, 1e-9)
