@@ -68,7 +68,6 @@ def generate_dataset(
         gt_env = make_env(env_id, **{**kwargs, "srl_model": "ground_truth"})
         agent = PPO2(env=gt_env, num_envs=num_envs)
         agent.learn(total_timesteps=ppo2_timesteps, seed=seed)
-        gt_vec = VecEnv(gt_env, num_envs)
 
     vec = VecEnv(env, num_envs)
     key = jax.random.PRNGKey(np.random.RandomState(seed).randint(2**31))
