@@ -126,7 +126,7 @@ def main():
         mixed = MixedEnv([
             KukaButtonEnv(srl_model="raw_pixels"),
             OmniRobotEnv(srl_model="raw_pixels"),
-        ])
+        ], oob_action="modulo")
         steps, dt = bench_env(mixed, num_envs=8192, n_steps=8, n_iters=3)
         parts["mixed_family_raw_pixels_8192"] = steps / dt
     except Exception:

@@ -745,6 +745,9 @@ class RecurrentACER(ACER):
             obs = self.state.obs_norm.normalize(obs)
         done = (jnp.zeros(n, bool) if dones is None
                 else jnp.asarray(dones, bool))
+        # Pre-advance context so getActionProba can report the distribution
+        # this call actually acted from (not a zeroed-state one).
+        self._act_ctx = (self._act_lstm, done)
         logits, _, self._act_lstm = self.net.apply(
             self.state.params, obs, self._act_lstm, done
         )
@@ -755,14 +758,22 @@ class RecurrentACER(ACER):
         return np.asarray(jax.random.categorical(key, logits))
 
     def getActionProba(self, observation, dones=None):
+        """Probabilities from the SAME LSTM context the last ``getAction``
+        acted from (read, not advanced); zeros only before any call."""
         obs = jnp.asarray(observation)
         n = obs.shape[0]
-        lstm = (jnp.zeros((n, self.net.n_lstm)),
-                jnp.zeros((n, self.net.n_lstm)))
+        ctx = getattr(self, "_act_ctx", None)
+        if ctx is not None and ctx[0][0].shape[0] >= n:
+            lstm = (ctx[0][0][:n], ctx[0][1][:n])
+            done = ctx[1][:n]
+        else:
+            lstm = (jnp.zeros((n, self.net.n_lstm)),
+                    jnp.zeros((n, self.net.n_lstm)))
+            done = jnp.zeros(n, bool)
         if self.state.obs_norm is not None:
             obs = self.state.obs_norm.normalize(obs)
         logits, _, _ = self.net.apply(
-            self.state.params, obs, lstm, jnp.zeros(n, bool)
+            self.state.params, obs, lstm, done
         )
         return np.asarray(jax.nn.softmax(logits, axis=-1))
 

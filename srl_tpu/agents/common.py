@@ -19,9 +19,17 @@ from srl_tpu.core.normalize import RunningNorm
 
 @struct.dataclass
 class RolloutBatch:
-    """[T, N, ...] tensors from one rollout segment."""
+    """[T, N, ...] tensors from one rollout segment.
 
-    obs: jax.Array
+    ``obs`` is either the stacked (normalized) observations, or — when the
+    rollout was collected with ``store_states=True`` — the stacked env-state
+    PYTREE from which each observation renders. Pixel rollouts store
+    ~150 KB/frame as observations but only ~100 B/env as states: storing
+    states and re-rendering per minibatch trades cheap renderer FLOPs for
+    the dominant HBM slab (the [T*N, 224, 224, 3] buffer that capped the
+    pixel PPO loop at 256 envs on 16 GB)."""
+
+    obs: Any
     actions: jax.Array
     log_probs: jax.Array
     values: jax.Array
@@ -40,13 +48,24 @@ def collect_rollout(
     obs_norm: Optional[RunningNorm],
     key: jax.Array,
     n_steps: int,
+    store_states: bool = False,
 ) -> Tuple[VecEnvState, jax.Array, Optional[RunningNorm], jax.Array, RolloutBatch]:
     """Scan n_steps of (policy -> env.step -> autoreset).
 
     Observation normalization statistics update online during collection,
     matching VecNormalize-on-the-fly semantics (rl_baselines/utils.py:224-227).
     Returns (vstate', last_obs, obs_norm', last_norm_obs, batch).
+
+    ``store_states=True`` records the pre-step env-state pytree instead of
+    the observation (``vec_env._observe(state_t) == obs_t`` by the VecEnv
+    contract: ``tr.obs`` is the post-autoreset observation of the new
+    state); requires ``obs_norm is None`` since re-rendering cannot replay
+    mid-rollout normalizer statistics.
     """
+    assert not (store_states and obs_norm is not None), (
+        "store_states re-renders observations in the update; online "
+        "normalization statistics cannot be replayed"
+    )
 
     def body(carry, _):
         vstate, obs, obs_norm, key = carry
@@ -59,9 +78,12 @@ def collect_rollout(
         dist, value = apply_fn(params, norm_obs)
         action = dist.sample(k_act)
         log_prob = dist.log_prob(action)
+        # Mixed-family vstates are tuples without .env_state; store_states
+        # is gated to plain VecEnvs by the agents, so only touch it there.
+        pre_step_state = vstate.env_state if store_states else None
         vstate, tr = vec_env.step(vstate, action)
         out = RolloutBatch(
-            obs=norm_obs,
+            obs=pre_step_state if store_states else norm_obs,
             actions=action,
             log_probs=log_prob,
             values=value,

@@ -65,18 +65,38 @@ class PPO2(BaseRLAgent):
     SAVE_INTERVAL = 1  # ppo2.py:13
 
     def __init__(self, env=None, num_envs: int = 16, policy: str = "auto",
-                 config: PPOConfig = None, normalize_obs: Optional[bool] = None):
+                 config: PPOConfig = None, normalize_obs: Optional[bool] = None,
+                 env_align: Optional[int] = None,
+                 recompute_obs: bool = False, remat_policy: bool = False):
         super().__init__()
         self.env = env
         self.num_envs = num_envs
         self.config = config or PPOConfig()
         self.policy_kind = policy
+        # Mixed-family pods: family-slice alignment (num_envs // dp of the
+        # training mesh) so each dp device holds ONE family; None auto-aligns
+        # to jax.device_count() (core/mixed_env.default_align).
+        self.env_align = env_align
+        # Pixel-loop memory levers (both bit-change the schedule, not the
+        # math):
+        #  * recompute_obs: store the ~100 B/env env-state pytree in the
+        #    rollout instead of the ~150 KB/frame observation and re-render
+        #    each minibatch inside the update — removes the [T*N, 224, 224,
+        #    3] HBM slab that capped pixel training at 256 envs on 16 GB.
+        #  * remat_policy: jax.checkpoint the policy forward in the loss so
+        #    the backward pass recomputes conv activations instead of
+        #    holding them.
+        self.recompute_obs = recompute_obs
+        self.remat_policy = remat_policy
         if env is not None:
             self._setup(normalize_obs)
 
     def _setup(self, normalize_obs):
         env = self.env
-        self.vec_env = VecEnv(env, self.num_envs)
+        if getattr(env, "is_mixed_family", False):
+            self.vec_env = VecEnv(env, self.num_envs, align=self.env_align)
+        else:
+            self.vec_env = VecEnv(env, self.num_envs)
         obs_shape = env.observation_space.shape
         self.policy: ActorCritic = make_policy(
             env.action_space, obs_shape, self.policy_kind
@@ -85,6 +105,15 @@ class PPO2(BaseRLAgent):
         if normalize_obs is None:
             normalize_obs = env.srl_model != "raw_pixels"
         self.normalize_obs = normalize_obs
+        if self.recompute_obs:
+            assert not self.normalize_obs, (
+                "recompute_obs re-renders observations in the update; "
+                "online normalizer statistics cannot be replayed — use it "
+                "for raw_pixels (unnormalized) training"
+            )
+            assert not getattr(env, "is_mixed_family", False), (
+                "recompute_obs is not wired for mixed-family batches yet"
+            )
         self._tx = None
         self._n_updates_hint = 1
 
@@ -135,7 +164,15 @@ class PPO2(BaseRLAgent):
     # ------------------------------------------------------------------
     def _loss(self, params, minibatch, cliprange):
         obs, actions, old_logp, old_values, advantages, returns = minibatch
-        dist, vpred = self.policy.apply(params, obs)
+        if self.recompute_obs:
+            # `obs` is the gathered env-state pytree: render this
+            # minibatch's frames on the fly (no gradient flows into the
+            # renderer — the frames are inputs, not functions of params).
+            obs = self.vec_env._observe(obs)
+        apply_fn = self.policy.apply
+        if self.remat_policy:
+            apply_fn = jax.checkpoint(apply_fn)
+        dist, vpred = apply_fn(params, obs)
         logp = dist.log_prob(actions)
         entropy = jnp.mean(dist.entropy())
 
@@ -180,6 +217,7 @@ class PPO2(BaseRLAgent):
             state.obs_norm,
             k_roll,
             cfg.n_steps,
+            store_states=self.recompute_obs,
         )
         _, last_value = self.policy.apply(state.params, last_norm_obs)
         advantages, returns = compute_gae(
@@ -193,8 +231,12 @@ class PPO2(BaseRLAgent):
 
         t, n = cfg.n_steps, self.num_envs
         flat = lambda x: x.reshape((t * n,) + x.shape[2:])
+        # With recompute_obs, batch.obs is the stored env-state PYTREE
+        # ([T, N, ...] per leaf) — flatten every leaf; minibatch gathers
+        # then slice the pytree and _loss re-renders the frames.
+        obs_data = jax.tree.map(flat, batch.obs)
         data = (
-            flat(batch.obs),
+            obs_data,
             flat(batch.actions),
             flat(batch.log_probs),
             flat(batch.values),

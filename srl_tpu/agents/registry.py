@@ -12,6 +12,42 @@ from srl_tpu.core.registry import Registry
 registered_rl: Registry = Registry("rl algo")
 
 
+def resolve_policy_class(algo: str, policy: str = "auto"):
+    """Agent class for an (algo, policy) pair.
+
+    The lstm/lnlstm/cnnlstm variants route to the Recurrent* implementations —
+    the reference's policy selection in ``StableBaselinesRLObject.train``
+    (rl_baselines/base_classes.py:227-246). Shared by the train CLI AND
+    replay/enjoy so a run trained with ``--policy lstm`` reloads as the same
+    class it trained as (enjoy_baselines.py:66-118 reconstructs the exact
+    policy class from the pickled metadata)."""
+    algo_class = registered_rl[algo][0]
+    if "lstm" not in (policy or ""):
+        return algo_class
+    if algo == "ppo2":
+        from srl_tpu.agents.recurrent_ppo import RecurrentPPO2
+
+        return RecurrentPPO2
+    if algo == "a2c":
+        from srl_tpu.agents.a2c import RecurrentA2C
+
+        return RecurrentA2C
+    if algo == "acer":
+        from srl_tpu.agents.acer import RecurrentACER
+
+        return RecurrentACER
+    if algo == "acktr":
+        from srl_tpu.agents.acktr import RecurrentACKTR
+
+        return RecurrentACKTR
+    # TRPO/PPO1 genuinely have no recurrent policies upstream
+    # (stable-baselines raises for LstmPolicy there too).
+    raise AssertionError(
+        "Error: recurrent policies are currently supported for "
+        "ppo2, a2c, acer and acktr"
+    )
+
+
 def _register_all():
     from srl_tpu.agents.a2c import A2C
     from srl_tpu.agents.ars import ARS

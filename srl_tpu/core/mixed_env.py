@@ -23,10 +23,14 @@ mechanism it lacks:
 on mixed batches with zero per-agent changes.
 
 Action-space union: discrete families of different sizes share
-``Discrete(max_n)``; a family with fewer actions maps shared action ``i``
-to ``i % n_family`` by default (a static per-family lookup table — override
-via ``action_tables`` for task-specific semantics, e.g. sending the Kuka
-z-axis actions to a no-op analogue). Box families must match exactly.
+``Discrete(max_n)``. How a smaller family executes an out-of-range shared
+action is an explicit choice: pass ``action_tables`` (a static per-family
+lookup, e.g. sending the Kuka z-axis actions to a task-specific analogue) or
+``oob_action`` ("modulo" maps shared ``i`` to ``i % n_family``, "clip" to
+``min(i, n-1)``). There is NO silent default — any static fold skews the
+smaller family's action distribution under an exploring policy (modulo
+doubles the fold targets' selection probability), so differing action counts
+without an explicit choice raise. Box families must match exactly.
 """
 from __future__ import annotations
 
@@ -40,6 +44,26 @@ from srl_tpu.core.env import Transition, VecEnv
 from srl_tpu.core.spaces import Box, Discrete
 
 
+def default_align(
+    num_envs: int, n_families: int, n_devices: Optional[int] = None
+) -> int:
+    """Family-slice alignment so each dp shard holds envs of ONE family.
+
+    Under a dp mesh the global batch is split into ``n_devices`` contiguous
+    shards of ``num_envs // n_devices`` envs; aligning the per-family counts
+    to that shard size keeps every device single-family (no intra-device
+    divergence between env kernels). Returns 1 (no alignment) when the batch
+    isn't evenly shardable or is too small for one shard per family."""
+    if n_devices is None:
+        n_devices = jax.device_count()
+    if n_devices <= 1 or num_envs % n_devices != 0:
+        return 1
+    shard = num_envs // n_devices
+    if shard * n_families > num_envs:
+        return 1
+    return shard
+
+
 class MixedEnv:
     """Static facade over K env families with a shared observation space."""
 
@@ -50,6 +74,7 @@ class MixedEnv:
         families: Sequence,
         fractions: Optional[Sequence[float]] = None,
         action_tables: Optional[Sequence[Optional[Sequence[int]]]] = None,
+        oob_action: str = "raise",
     ):
         assert len(families) >= 1
         self.families = list(families)
@@ -81,7 +106,23 @@ class MixedEnv:
                     tab = np.asarray(action_tables[i], np.int32)
                     assert tab.shape == (n_shared,) and tab.max() < s.n
                 elif s.n < n_shared:
-                    tab = (np.arange(n_shared) % s.n).astype(np.int32)
+                    if oob_action == "modulo":
+                        tab = (np.arange(n_shared) % s.n).astype(np.int32)
+                    elif oob_action == "clip":
+                        tab = np.minimum(
+                            np.arange(n_shared), s.n - 1
+                        ).astype(np.int32)
+                    else:
+                        raise ValueError(
+                            f"mixed families have differing discrete action "
+                            f"counts ({[sp.n for sp in spaces]}); any static "
+                            f"fold of the shared Discrete({n_shared}) onto "
+                            f"{type(self.families[i]).__name__}'s {s.n} "
+                            f"actions skews its action distribution under "
+                            f"an exploring policy — pass action_tables with "
+                            f"task-specific semantics, or choose "
+                            f"oob_action='modulo'|'clip' explicitly"
+                        )
                 self._tables.append(tab)
         else:
             assert all(
@@ -132,8 +173,21 @@ class MixedVecEnv(VecEnv):
     jit/scan/shard_map treat it like any other pytree.
     """
 
-    def __init__(self, env: MixedEnv, num_envs: int, align: int = 1):
+    def __init__(self, env: MixedEnv, num_envs: int,
+                 align: Optional[int] = None):
+        assert isinstance(env, MixedEnv), (
+            "MixedVecEnv requires a MixedEnv facade (a wrapper forwarding "
+            "is_mixed_family=True via __getattr__ would skip its own "
+            "observe/encode path — wrap the families, not the MixedEnv)"
+        )
         super().__init__(env, num_envs)
+        if align is None:
+            # Auto-align the family slices to the device-shard size so each
+            # dp device holds envs of ONE family (the module's design note);
+            # callers with a mesh whose dp differs from jax.device_count()
+            # (e.g. dp x tp layouts) pass align = num_envs // dp explicitly.
+            align = default_align(num_envs, len(env.families))
+        self.align = align
         self.counts = env.split_counts(num_envs, align)
         self.vecs = [
             VecEnv(fam, c) for fam, c in zip(env.families, self.counts)

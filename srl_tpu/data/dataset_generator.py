@@ -36,6 +36,7 @@ def generate_dataset(
     random_target: bool = False,
     shape_reward: bool = False,
     policy: str = "random",  # random | ppo2 | toward_target
+    toward_target_proportion: float = 1.0,
     max_steps: Optional[int] = None,
     ppo2_timesteps: int = 20_000,
     env_kwargs: Optional[dict] = None,
@@ -88,7 +89,20 @@ def generate_dataset(
                 jnp.where(delta[:, 0] > 0, 1, 0),
                 jnp.where(delta[:, 1] > 0, 3, 2),
             )
-            return a.astype(jnp.int32)
+            a = a.astype(jnp.int32)
+            if toward_target_proportion >= 1.0:
+                return a
+            # Per-step per-env mixing: each step uses the expert action with
+            # probability --toward-target-timesteps-proportion, else a random
+            # one — INSIDE the episode, matching the reference's per-step
+            # coin flip (environments/dataset_generator.py:98-113,150), not
+            # an all-or-nothing policy switch.
+            k_rand, k_mix = jax.random.split(key)
+            rand_a = jax.random.randint(k_rand, (num_envs,), 0, n_act)
+            use_expert = jax.random.bernoulli(
+                k_mix, toward_target_proportion, (num_envs,)
+            )
+            return jnp.where(use_expert, a, rand_a).astype(jnp.int32)
         if agent is not None:
             # Inline the trained policy (getAction is a host-level API; the
             # same normalize + sample runs on device inside the scan).
@@ -198,7 +212,11 @@ def main(argv=None):
     parser.add_argument("--random-target", action="store_true")
     parser.add_argument("--shape-reward", action="store_true")
     parser.add_argument("--run-ppo2", action="store_true")
-    parser.add_argument("--toward-target-timesteps-proportion", type=float, default=0.0)
+    parser.add_argument("--toward-target-timesteps-proportion", type=float,
+                        default=0.0,
+                        help="Probability, per env per STEP, of taking the "
+                        "expert toward-target action instead of a random "
+                        "one (dataset_generator.py:98-113 semantics)")
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--force", action="store_true")
     args = parser.parse_args(argv)
@@ -221,6 +239,10 @@ def main(argv=None):
         random_target=args.random_target,
         shape_reward=args.shape_reward,
         policy=policy,
+        toward_target_proportion=(
+            args.toward_target_timesteps_proportion
+            if args.toward_target_timesteps_proportion > 0 else 1.0
+        ),
         max_steps=args.max_steps,
     )
 

@@ -146,15 +146,18 @@ class KukaButtonEnv(TpuEnv):
         max_steps: int = None,
         noise_std: float = NOISE_STD,
         null_space: bool = False,
-        render_scale: int = 2,
+        render_scale: int = 1,
     ):
         # Coarse-trace factor for the ray-traced pixel paths: rays are
         # traced at (H/render_scale, W/render_scale) and nearest-upsampled
-        # to the 224x224 observation (the reference's PyBullet camera,
-        # kuka_button_gym_env.py:396-398, renders natively at 224 but the
-        # scene is ~20 smooth primitives — the coarse trace quarters the
-        # per-frame ray math at render_scale=2). Set render_scale=1 for the
-        # exact full-resolution trace.
+        # to the 224x224 observation. The default is 1 — the exact
+        # full-resolution trace, matching the reference's native 224x224
+        # PyBullet camera (kuka_button_gym_env.py:396-398). render_scale=2
+        # quarters the per-frame ray math (~3.5x frames/s; ≥90% of pixels
+        # within 8 of the exact trace) and is the benched fast
+        # configuration — opt in explicitly (bench.py, --render-scale 2);
+        # SRL models/checkpoints see shifted pixel statistics across
+        # scales, so the fidelity choice must be the caller's.
         assert RENDER_HEIGHT % render_scale == 0, "scale must divide 224"
         self.render_scale = int(render_scale)
         self.null_space = null_space

@@ -68,6 +68,12 @@ def parse_args(argv=None):
                         choices=list(registered_srl.keys()))
     parser.add_argument("--num-stack", type=int, default=1,
                         help="Number of frames to stack")
+    parser.add_argument("--render-scale", type=int, default=1,
+                        choices=[1, 2, 4],
+                        help="Coarse-trace factor for ray-traced pixel envs "
+                        "(Kuka): 1 = exact 224x224 parity render (default), "
+                        "2 = trace at 112 + upsample (~3.5x faster, >=90%% "
+                        "of pixels within 8 of exact)")
     parser.add_argument("--action-repeat", type=int, default=1)
     parser.add_argument("--srl-config-file", type=str,
                         default="config/srl_models.yaml")
@@ -89,6 +95,12 @@ def parse_args(argv=None):
     parser.add_argument("--updates-per-call", type=int, default=1,
                         help="Scan K PPO updates per jit call (fewer host "
                              "round-trips on TPU)")
+    parser.add_argument("--recompute-obs", action="store_true", default=False,
+                        help="Pixel PPO: store env states in the rollout "
+                        "and re-render observations per minibatch instead "
+                        "of keeping the [T*N, 224, 224, 3] slab in HBM "
+                        "(bit-identical updates; 2-4x larger env batches "
+                        "fit on a 16 GB chip)")
     parser.add_argument("--policy", type=str, default="auto",
                         choices=["auto", "mlp", "cnn", "lstm", "lnlstm",
                                  "cnnlstm", "cnnlnlstm"],
@@ -198,20 +210,41 @@ def build_env(args, env_kwargs):
         kwargs = {k: v for k, v in env_kwargs.items() if k in accepted}
         return make_env(env_id, **kwargs)
 
-    if getattr(args, "mixed_envs", None):
-        # Pod configuration: heterogeneous families -> one learner batch
-        # (core/mixed_env.py; BASELINE.json configs[4]).
-        from srl_tpu.core.mixed_env import MixedEnv
-
-        env = MixedEnv([one_env(e) for e in args.mixed_envs])
-    else:
-        env = one_env(args.env)
-
+    srl_wrap = None
     if env_kwargs.get("use_srl"):
         from srl_tpu.srl.models import SRLEncodedEnv, loadSRLModel
 
         model = loadSRLModel(env_kwargs["srl_model_path"])
-        env = SRLEncodedEnv(env, model)
+        srl_wrap = lambda e: SRLEncodedEnv(e, model)
+
+    if getattr(args, "mixed_envs", None):
+        # Pod configuration: heterogeneous families -> one learner batch
+        # (core/mixed_env.py; BASELINE.json configs[4]). With a learned SRL
+        # model each FAMILY is wrapped individually so the per-family VecEnvs
+        # encode — wrapping the MixedEnv itself would let MixedVecEnv
+        # vectorize the raw families and silently skip the encoder.
+        from srl_tpu.core.mixed_env import MixedEnv
+
+        families = [one_env(e) for e in args.mixed_envs]
+        if srl_wrap is not None:
+            families = [srl_wrap(f) for f in families]
+        from srl_tpu.core.spaces import Discrete
+
+        sizes = [f.action_space.n for f in families
+                 if isinstance(f.action_space, Discrete)]
+        if sizes and len(set(sizes)) > 1:
+            printYellow(
+                f"--mixed-envs families have differing action counts "
+                f"{sizes}: shared actions beyond a family's range fold "
+                f"back modulo its count (skews that family's action "
+                f"distribution under exploration; construct MixedEnv with "
+                f"explicit action_tables for task-specific semantics)"
+            )
+        env = MixedEnv(families, oob_action="modulo")
+    else:
+        env = one_env(args.env)
+        if srl_wrap is not None:
+            env = srl_wrap(env)
 
     if getattr(args, "num_stack", 1) > 1:
         from srl_tpu.core.frame_stack import FrameStack
@@ -365,6 +398,7 @@ def main(argv=None):
         "action_joints": args.action_joints,
         "random_target": args.random_target,
         "action_repeat": args.action_repeat,
+        "render_scale": args.render_scale,
     }
     # SAC/DDPG are continuous-only: force it.
     if ActionType.DISCRETE not in action_types:
@@ -391,31 +425,11 @@ def main(argv=None):
         num_envs = 16
 
     # Recurrent policy variants route to the LSTM implementations
-    # (the reference's policy selection, base_classes.py:227-246).
-    if "lstm" in args.policy:
-        if args.algo == "ppo2":
-            from srl_tpu.agents.recurrent_ppo import RecurrentPPO2
+    # (the reference's policy selection, base_classes.py:227-246). The same
+    # routing is used by replay/enjoy at load time.
+    from srl_tpu.agents.registry import resolve_policy_class
 
-            algo_class = RecurrentPPO2
-        elif args.algo == "a2c":
-            from srl_tpu.agents.a2c import RecurrentA2C
-
-            algo_class = RecurrentA2C
-        elif args.algo == "acer":
-            from srl_tpu.agents.acer import RecurrentACER
-
-            algo_class = RecurrentACER
-        elif args.algo == "acktr":
-            from srl_tpu.agents.acktr import RecurrentACKTR
-
-            algo_class = RecurrentACKTR
-        else:
-            # TRPO/PPO1 genuinely have no recurrent policies upstream
-            # (stable-baselines raises for LstmPolicy there too).
-            raise AssertionError(
-                "Error: recurrent policies are currently supported for "
-                "ppo2, a2c, acer and acktr"
-            )
+    algo_class = resolve_policy_class(args.algo, args.policy)
 
     kwargs = {}
     sig = inspect.signature(algo_class.__init__)
@@ -423,6 +437,8 @@ def main(argv=None):
         kwargs["num_envs"] = num_envs
     if "policy" in sig.parameters and args.policy != "auto":
         kwargs["policy"] = args.policy
+    if "recompute_obs" in sig.parameters and getattr(args, "recompute_obs", False):
+        kwargs["recompute_obs"] = True
     if "config" in sig.parameters:
         # Algo config = defaults <- matching CLI flags (customArguments,
         # e.g. ddpg's --noise-action) <- 'k:v' hyperparam overrides

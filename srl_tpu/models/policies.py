@@ -99,9 +99,20 @@ class ActorCritic(nn.Module):
 
 def make_policy(action_space: Space, obs_shape, policy: str = "mlp") -> ActorCritic:
     """Policy factory mirroring the cnn/mlp selection in
-    base_classes.py:227-246 (lstm variants to come)."""
-    if policy in ("cnn",) or (policy == "auto" and len(obs_shape) == 3):
+    base_classes.py:227-246. Recurrent kinds (lstm/lnlstm/cnnlstm) live in
+    ``models.recurrent`` behind the Recurrent* agent classes
+    (agents.registry.resolve_policy_class) — building them here would
+    silently drop the recurrence, so they raise instead."""
+    if "lstm" in policy:
+        raise ValueError(
+            f"policy '{policy}' is recurrent — load/construct the agent via "
+            "agents.registry.resolve_policy_class so the Recurrent* "
+            "implementation (models.recurrent) is used"
+        )
+    if policy == "cnn" or (policy == "auto" and len(obs_shape) == 3):
         torso = "cnn"
-    else:
+    elif policy in ("mlp", "auto"):
         torso = "mlp"
+    else:
+        raise ValueError(f"unknown policy kind '{policy}' (mlp|cnn|auto)")
     return ActorCritic(action_space=action_space, torso=torso)

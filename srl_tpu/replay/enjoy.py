@@ -32,13 +32,18 @@ def latest_log_dir(base: str) -> str:
 
 
 def load_config_and_setup(log_dir: str):
-    """(args_dict, env, agent) from a training run directory."""
-    import jax
+    """(args_dict, env, agent) from a training run directory.
 
-    from srl_tpu.agents.registry import registered_rl
-    from srl_tpu.envs import make_env
-    from srl_tpu.envs.registry import registered_env
-    import inspect
+    Reconstructs the env EXACTLY as training built it — same ``build_env``
+    code path, so ``--mixed-envs`` pods, learned-SRL wrapping (per family
+    for mixed runs) and frame stacking all round-trip — and resolves the
+    agent class from the stored (algo, policy) pair so a run trained with
+    ``--policy lstm`` reloads as its Recurrent* class
+    (enjoy_baselines.py:66-118 reconstructs the exact policy class)."""
+    from types import SimpleNamespace
+
+    from srl_tpu.agents.registry import resolve_policy_class
+    from srl_tpu.experiments.train import build_env
 
     with open(os.path.join(log_dir, "args.json")) as f:
         train_args = json.load(f)
@@ -50,29 +55,33 @@ def load_config_and_setup(log_dir: str):
         "action_joints": train_args.get("action_joints", False),
         "random_target": train_args.get("random_target", False),
         "action_repeat": train_args.get("action_repeat", 1),
+        "render_scale": train_args.get("render_scale", 1),
     }
-    env_class = registered_env[train_args["env"]][0]
-    accepted = set(inspect.signature(env_class.__init__).parameters)
-    env = make_env(
-        train_args["env"], **{k: v for k, v in env_kwargs.items() if k in accepted}
-    )
 
-    # Learned SRL model: re-resolve the encoder used at train time.
+    # Learned SRL model: re-resolve the encoder checkpoint used at train time.
     from srl_tpu.srl.registry import registered_srl
     from srl_tpu.srl import SRLType
 
     if registered_srl[train_args["srl_model"]]["type"] == SRLType.SRL:
-        from srl_tpu.srl.models import SRLEncodedEnv, loadSRLModel
         import yaml
 
         with open(train_args["srl_config_file"]) as f:
             models = yaml.safe_load(f)[train_args["env"]]
-        path = os.path.join(
+        env_kwargs["use_srl"] = True
+        env_kwargs["srl_model_path"] = os.path.join(
             models.get("log_folder", ""), models[train_args["srl_model"]]
         )
-        env = SRLEncodedEnv(env, loadSRLModel(path))
 
-    algo_class = registered_rl[train_args["algo"]][0]
+    ns = SimpleNamespace(
+        env=train_args["env"],
+        mixed_envs=train_args.get("mixed_envs"),
+        num_stack=train_args.get("num_stack", 1),
+    )
+    env = build_env(ns, env_kwargs)
+
+    algo_class = resolve_policy_class(
+        train_args["algo"], train_args.get("policy", "auto")
+    )
     model_path = os.path.join(log_dir, f"{train_args['algo']}_model.pkl")
     if not os.path.exists(model_path):
         model_path = os.path.join(log_dir, f"{train_args['algo']}_final_model.pkl")
@@ -108,13 +117,18 @@ def enjoy(
     probas = []
     frames = []
     n_steps = num_timesteps // num_envs
+    # Episode-start mask threaded into getAction so recurrent policies reset
+    # their LSTM state at episode boundaries (the reference feeds `dones`
+    # into model.predict, enjoy_baselines.py:242-270).
+    dones = np.zeros(num_envs, bool)
     for t in range(n_steps):
         key, sub = jax.random.split(key)
         actions = agent.getAction(
-            np.asarray(obs), deterministic=deterministic, key=sub
+            np.asarray(obs), dones=dones, deterministic=deterministic, key=sub
         )
         vstate, tr = step(vstate, jnp.asarray(actions))
         obs = tr.obs
+        dones = np.asarray(tr.done)
         er = np.asarray(tr.episode_return)
         episode_returns.extend(er[~np.isnan(er)].tolist())
         if plot:
@@ -123,14 +137,22 @@ def enjoy(
                 probas.append(agent.getActionProba(np.asarray(obs[:1]))[0])
         if render and t % 10 == 0 and len(frames) < 16:
             base_env = getattr(env, "_env", env)
+            if getattr(env, "is_mixed_family", False):
+                # Mixed pods: render env 0 of family 0 (vstate is a tuple of
+                # per-family VecEnvStates).
+                base_env = env.families[0]
+                base_env = getattr(base_env, "_env", base_env)
+                env_state0 = vstate[0].env_state
+            else:
+                env_state0 = vstate.env_state
             try:
                 img = np.asarray(
                     base_env.render_pixels(
-                        jax.tree.map(lambda x: x[0], vstate.env_state)
+                        jax.tree.map(lambda x: x[0], env_state0)
                     )
                 )
                 frames.append(img[..., :3])
-            except NotImplementedError:
+            except (NotImplementedError, AttributeError):
                 pass
 
     result = {

@@ -136,7 +136,19 @@ class SRLEncodedEnv:
     on-device replacement of the srl_pipe round-trip (srl_env.py:44-49).
     Works under vmap: the encoder conv becomes one batched conv."""
 
+    # Never forwarded from the wrapped env via __getattr__: a wrapped
+    # MixedEnv would otherwise make VecEnv.__new__ dispatch to MixedVecEnv,
+    # which vectorizes the RAW families and silently skips the encoder.
+    is_mixed_family = False
+
     def __init__(self, env, srl_model: SRLBaseModel):
+        if getattr(env, "is_mixed_family", False):
+            raise ValueError(
+                "SRLEncodedEnv cannot wrap a MixedEnv: the per-family "
+                "VecEnvs would vectorize the raw families and skip the "
+                "encoder. Wrap each family instead: "
+                "MixedEnv([SRLEncodedEnv(f, model) for f in families])"
+            )
         self._env = env
         self._srl = srl_model
         self.srl_model = "srl_encoded"

@@ -245,8 +245,14 @@ class SRLTrainer:
         # it, not the SGD steps, dominated repeated fits (measured ~500
         # img/s upload-bound vs the compute rate below).
         cache = getattr(self, "_device_data_cache", None)
-        src = dataset["observations"]
-        if cache is not None and cache[0] is src:
+        # Keyed on the identity of ALL FOUR source arrays: a fit() reusing
+        # the same observations with different actions/rewards/ground-truth
+        # must not train on stale device copies of the other three.
+        src = (dataset["observations"], dataset["actions"],
+               dataset["rewards"], dataset["ground_truth_states"])
+        if cache is not None and len(cache[0]) == len(src) and all(
+            a is b for a, b in zip(cache[0], src)
+        ):
             obs_dev, actions_dev, rewards_dev, gt_dev = cache[1]
         else:
             obs_dev = jnp.asarray(obs)

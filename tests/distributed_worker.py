@@ -46,7 +46,7 @@ def make_agent(mode: str) -> PPO2:
 
         return PPO2(
             env=MixedEnv([
-                KukaButtonEnv(srl_model="raw_pixels"),
+                KukaButtonEnv(srl_model="raw_pixels", render_scale=2),
                 OmniRobotEnv(srl_model="raw_pixels"),
             ]),
             num_envs=8,

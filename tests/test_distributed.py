@@ -189,7 +189,7 @@ def test_two_process_mixed_family_ppo_matches_single_process():
     # Same configuration as distributed_worker.make_agent("mixed").
     agent = PPO2(
         env=MixedEnv([
-            KukaButtonEnv(srl_model="raw_pixels"),
+            KukaButtonEnv(srl_model="raw_pixels", render_scale=2),
             OmniRobotEnv(srl_model="raw_pixels"),
         ]),
         num_envs=8,

@@ -126,3 +126,38 @@ def test_getaction_fallback_deterministic():
     # Deterministic mode must not consume from the stream.
     a.getAction(obs, deterministic=True)
     np.testing.assert_array_equal(np.asarray(a._act_key), k1)
+
+
+@pytest.mark.fast
+def test_recompute_obs_bit_identical_update():
+    """recompute_obs stores env states and re-renders per minibatch; since
+    the renderer is deterministic this is a pure memory-schedule change —
+    the updated parameters must be BIT-identical to the stored-slab path."""
+
+    def one_update(recompute, remat=False):
+        agent = PPO2(
+            env=MobileRobotEnv(srl_model="raw_pixels", max_steps=8),
+            num_envs=4,
+            config=PPOConfig(n_steps=4, nminibatches=2, noptepochs=1),
+            recompute_obs=recompute, remat_policy=remat,
+        )
+        state = agent.init_state(jax.random.PRNGKey(0), n_updates=2)
+        new_state, metrics = jax.jit(agent.train_iteration)(state)
+        return (jax.flatten_util.ravel_pytree(new_state.params)[0],
+                float(metrics["pg_loss"]))
+
+    ref_params, ref_loss = one_update(False)
+    rec_params, rec_loss = one_update(True)
+    np.testing.assert_array_equal(np.asarray(ref_params), np.asarray(rec_params))
+    assert ref_loss == rec_loss
+    # remat changes the backward-pass schedule only; tolerate float fuzz.
+    rem_params, _ = one_update(True, remat=True)
+    np.testing.assert_allclose(np.asarray(ref_params), np.asarray(rem_params),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.fast
+def test_recompute_obs_rejects_normalized_obs():
+    with pytest.raises(AssertionError, match="recompute_obs"):
+        PPO2(env=MobileRobotEnv(srl_model="ground_truth"), num_envs=4,
+             recompute_obs=True)

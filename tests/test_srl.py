@@ -280,3 +280,47 @@ def test_encoded_env_batched_path_encodes(small_dataset, tmp_path):
     vstate, tr = jax.jit(vec.step)(vstate, jnp.zeros(3, jnp.int32))
     assert tr.obs.shape == (3, 3)
     assert np.all(np.isfinite(np.asarray(tr.obs)))
+
+
+@pytest.mark.fast
+def test_toward_target_per_step_proportion(tmp_path):
+    """--toward-target-timesteps-proportion mixes the expert action per env
+    per STEP inside the episode (reference dataset_generator.py:98-113), not
+    as an all-or-nothing policy switch: at p the realized expert-agreement
+    fraction is ~ p + (1-p)/n_actions."""
+
+    def expert_agreement(p, seed):
+        folder = generate_dataset(
+            "MobileRobotGymEnv-v0", num_episodes=10,
+            save_path=str(tmp_path), name=f"mix_{int(p * 100)}",
+            num_envs=4, max_steps=20, seed=seed,
+            policy="toward_target", toward_target_proportion=p,
+        )
+        d = load_dataset(folder)
+        gt = np.asarray(d["ground_truth_states"])
+        tgt = np.asarray(d["target_positions"])
+        act = np.asarray(d["actions"])
+        starts = np.asarray(d["episode_starts"])
+        episode_idx = np.cumsum(starts) - 1  # target_positions: one row/episode
+        agree, total = 0, 0
+        for t in range(1, len(act)):
+            if starts[t]:  # row t begins a new episode: no action taken
+                continue
+            # expert acted on the pre-step state toward this episode's target
+            delta = tgt[episode_idx[t]] - gt[t - 1]
+            if np.max(np.abs(delta)) < 1e-6:
+                continue
+            if np.argmax(np.abs(delta)) == 0:
+                a = 1 if delta[0] > 0 else 0
+            else:
+                a = 3 if delta[1] > 0 else 2
+            agree += int(act[t] == a)
+            total += 1
+        assert total > 100
+        return agree / total
+
+    frac_half = expert_agreement(0.5, seed=1)
+    # p=0.5 over 4 actions: expected 0.5 + 0.5/4 = 0.625.
+    assert 0.50 < frac_half < 0.75, frac_half
+    frac_full = expert_agreement(1.0, seed=2)
+    assert frac_full > 0.9, frac_full
