@@ -1,21 +1,127 @@
 """Headline benchmark: aggregate env-steps/s/chip on batched robotics envs.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "env-steps/s/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "...", "vs_baseline": N,
+   "parts": {...}, "parts_detail": {...}, "parts_errors": {...}}
 
 Baseline: the reference's 250 FPS simulated-env throughput on an 8-core CPU
-(README.md:9, BASELINE.md). This benchmark steps the pure-JAX env kernels
-(dynamics + ground-truth observation, the quickstart observation mode) in
-lockstep under jit+vmap+scan on one chip, mixing MobileRobot and Kuka
-families when available.
+(README.md:9, BASELINE.md) and its ~1M timesteps/hour (~278 steps/s)
+training headline (README.md:5).
+
+Methodology (round-5 verdict asks #2/#7/#8):
+  * env-kernel parts are reproducible (±2% across runs) and get a single
+    multi-iteration timing;
+  * dispatch-sensitive learner parts (full PPO loops, SRL training) are
+    timed over K=3 independent windows — ``parts`` records the MEDIAN and
+    ``parts_detail`` the min/max spread, so a single host-jitter outlier
+    cannot move the recorded number;
+  * the full-loop batch size is probed at {2048, 4096, 8192} with one
+    short window each and the winner timed properly (``probes`` records
+    the choice);
+  * every part runs inside ``_part``: failures land in ``parts_errors``
+    with the exception repr instead of silently vanishing;
+  * learner-bound parts carry an ``mfu`` entry: analytic model FLOPs
+    (functions below, matching the layer geometry in models/policies.py
+    and srl/nets.py) -> TFLOP/s -> fraction of the v5e bf16 MXU peak.
 """
 import json
+import statistics
 import time
 
 import jax
 import jax.numpy as jnp
 
+# TPU v5e per-chip peak: 197 TFLOP/s bf16 on the MXU (f32 ~half). The conv
+# and fc compute in both the policy CNN and the SRL encoder/decoder runs in
+# bf16 (models/policies.py, srl/nets.py), so bf16 peak is the roofline.
+PEAK_BF16_TFLOPS = 197.0
 
+parts = {}
+parts_detail = {}
+parts_errors = {}
+probes = {}
+mfu = {}
+
+
+def _part(name):
+    """Decorator-ish context: run fn, record errors instead of swallowing
+    them (a part that OOMs or hits a tunnel-compiler crash must be
+    distinguishable from 'not implemented')."""
+
+    class _Ctx:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, etype, e, tb):
+            if e is not None:
+                parts_errors[name] = repr(e)
+            return True  # never kill the whole bench
+
+    return _Ctx()
+
+
+def _median_windows(name, run_window, k=3):
+    """Time K independent windows of run_window() -> (work, seconds); record
+    the median rate in parts[name] and the spread in parts_detail[name]."""
+    rates = []
+    for _ in range(k):
+        work, dt = run_window()
+        rates.append(work / dt)
+    parts[name] = statistics.median(rates)
+    parts_detail[name] = {
+        "median": round(statistics.median(rates), 1),
+        "min": round(min(rates), 1),
+        "max": round(max(rates), 1),
+        "windows": k,
+    }
+    return parts[name]
+
+
+# ---------------------------------------------------------------------------
+# Analytic model-FLOP estimates (fwd, per frame). bwd ~= 2x fwd.
+# ---------------------------------------------------------------------------
+def nature_cnn_fwd_flops() -> float:
+    """Nature-DQN CNN at 224x224x3 (models/policies.py NatureCnnTorso:
+    VALID convs 32x8s4, 64x4s2, 64x3s1, fc512)."""
+    f = 0.0
+    o1 = (224 - 8) // 4 + 1  # 55
+    f += 2.0 * o1 * o1 * 32 * 8 * 8 * 3
+    o2 = (o1 - 4) // 2 + 1  # 26
+    f += 2.0 * o2 * o2 * 64 * 4 * 4 * 32
+    o3 = (o2 - 3) // 1 + 1  # 24
+    f += 2.0 * o3 * o3 * 64 * 3 * 3 * 64
+    f += 2.0 * (o3 * o3 * 64) * 512  # fc512
+    return f  # ~1.62e8
+
+
+def srl_encoder_fwd_flops(c_in=3) -> float:
+    """SRLConvEncoder at 224x224 (SAME convs 32x8s4, 64x4s2, 64x3s2, fc256)."""
+    f = 2.0 * 56 * 56 * 32 * 8 * 8 * c_in
+    f += 2.0 * 28 * 28 * 64 * 4 * 4 * 32
+    f += 2.0 * 14 * 14 * 64 * 3 * 3 * 64
+    f += 2.0 * (14 * 14 * 64) * 256
+    return f
+
+
+def srl_decoder_fwd_flops() -> float:
+    """SRLDeconvDecoder to 224x224x3 (4 ConvTranspose 4x4 s2)."""
+    f = 2.0 * 28 * 28 * 64 * 4 * 4 * 64
+    f += 2.0 * 56 * 56 * 32 * 4 * 4 * 64
+    f += 2.0 * 112 * 112 * 16 * 4 * 4 * 32
+    f += 2.0 * 224 * 224 * 3 * 4 * 4 * 16
+    return f
+
+
+def _record_mfu(name, flops_per_unit):
+    if name in parts:
+        tflops = parts[name] * flops_per_unit / 1e12
+        mfu[name] = {
+            "model_tflops_per_s": round(tflops, 2),
+            "pct_of_bf16_peak": round(100.0 * tflops / PEAK_BF16_TFLOPS, 2),
+        }
+
+
+# ---------------------------------------------------------------------------
 def bench_env(env, num_envs: int, n_steps: int, n_iters: int = 5) -> tuple:
     """Returns (total_steps, seconds) for jitted scan rollouts."""
     from srl_tpu.core.env import VecEnv
@@ -63,21 +169,33 @@ def bench_env(env, num_envs: int, n_steps: int, n_iters: int = 5) -> tuple:
     return num_envs * n_steps * n_iters, dt
 
 
+def _ppo_window(agent, loop_steps, updates_per_call=1):
+    """One timed learn() window (same horizon as the warm call so the jit
+    cache, keyed on the lr-anneal horizon, stays hot)."""
+    t0 = time.perf_counter()
+    agent.learn(total_timesteps=loop_steps, seed=0,
+                updates_per_call=updates_per_call)
+    return loop_steps, time.perf_counter() - t0
+
+
 def main():
+    import numpy as np
+
     from srl_tpu.envs.mobile_robot import MobileRobotEnv
 
     total_steps = 0
     total_time = 0.0
-    parts = {}
 
+    # ---- env kernels (reproducible ±2%: single multi-iteration timing) ----
     # Batch sizes picked by measured scaling on v5e (steps/s still rising
     # at these sizes but with diminishing returns; 2x more gains <5%).
-    steps, dt = bench_env(MobileRobotEnv(), num_envs=16384, n_steps=256)
-    parts["mobile_robot"] = steps / dt
-    total_steps += steps
-    total_time += dt
+    with _part("mobile_robot"):
+        steps, dt = bench_env(MobileRobotEnv(), num_envs=16384, n_steps=256)
+        parts["mobile_robot"] = steps / dt
+        total_steps += steps
+        total_time += dt
 
-    try:
+    with _part("kuka_button"):
         from srl_tpu.envs.kuka import KukaButtonEnv
 
         steps, dt = bench_env(
@@ -86,13 +204,11 @@ def main():
         parts["kuka_button"] = steps / dt
         total_steps += steps
         total_time += dt
-    except ImportError:
-        pass
 
     # Rendered-observation paths (224x224x3 per step) — the reference's
     # 250 FPS baseline IS this configuration on Kuka/MobileRobot
     # (README.md:9).
-    try:
+    with _part("mobile_robot_raw_pixels"):
         # 1024 envs: the sprite compositor's per-program work amortizes
         # over the batch (256 -> 683k, 1024 -> 1.14M f/s measured v5e).
         steps, dt = bench_env(
@@ -100,40 +216,53 @@ def main():
             n_iters=3,
         )
         parts["mobile_robot_raw_pixels"] = steps / dt
-    except Exception:
-        pass
-    try:
+
+    with _part("kuka_button_raw_pixels"):
         from srl_tpu.envs.kuka import KukaButtonEnv
 
-        # 640 envs measured best for the coarse-trace (render_scale=2)
-        # Pallas path (512: 186k, 640: 191k, 768: 188k f/s, r4 probes).
+        # The benched FAST config: coarse trace at 112 + 2x upsample
+        # (render_scale=2, an explicit opt-in since r5 — the env default is
+        # the exact 224 parity trace). 640 envs measured best (512: 186k,
+        # 640: 191k, 768: 188k f/s, r4 probes).
         steps, dt = bench_env(
-            KukaButtonEnv(srl_model="raw_pixels"), num_envs=640, n_steps=32,
-            n_iters=3,
+            KukaButtonEnv(srl_model="raw_pixels", render_scale=2),
+            num_envs=640, n_steps=32, n_iters=3,
         )
         parts["kuka_button_raw_pixels"] = steps / dt
-    except Exception:
-        pass
+
+    with _part("kuka_button_raw_pixels_exact"):
+        from srl_tpu.envs.kuka import KukaButtonEnv
+
+        # The exact-parity render (default render_scale=1): native 224
+        # trace, no upsample — the fidelity-labeled counterpart.
+        steps, dt = bench_env(
+            KukaButtonEnv(srl_model="raw_pixels"), num_envs=640, n_steps=16,
+            n_iters=3,
+        )
+        parts["kuka_button_raw_pixels_exact"] = steps / dt
+
     # The pod configuration's env side at single-chip scale (BASELINE.json
     # configs[4]: "8192+ mixed Kuka/Omnirobot envs"): one heterogeneous
     # batch, Kuka ray-traced + OmniRobot composited pixels, stepped in
-    # lockstep under one jit (core/mixed_env.py).
-    try:
+    # lockstep under one jit (core/mixed_env.py). Family-slice alignment is
+    # a no-op here: equal fractions already split [4096, 4096] and a single
+    # chip has no shard boundaries (see tests/test_sharding.py for the
+    # multi-device alignment pin).
+    with _part("mixed_family_raw_pixels_8192"):
         from srl_tpu.core.mixed_env import MixedEnv
         from srl_tpu.envs.kuka import KukaButtonEnv
         from srl_tpu.envs.omnirobot import OmniRobotEnv
 
         mixed = MixedEnv([
-            KukaButtonEnv(srl_model="raw_pixels"),
+            KukaButtonEnv(srl_model="raw_pixels", render_scale=2),
             OmniRobotEnv(srl_model="raw_pixels"),
         ], oob_action="modulo")
         steps, dt = bench_env(mixed, num_envs=8192, n_steps=8, n_iters=3)
         parts["mixed_family_raw_pixels_8192"] = steps / dt
-    except Exception:
-        pass
+
     # CarRacing: full Box2D-equivalent car dynamics + track tiles in JAX
     # (car_env.py semantics; ground-truth observation mode).
-    try:
+    with _part("car_racing"):
         from srl_tpu.envs.car_racing import CarRacingEnv
 
         steps, dt = bench_env(
@@ -142,9 +271,8 @@ def main():
         parts["car_racing"] = steps / dt
         total_steps += steps
         total_time += dt
-    except Exception:
-        pass
-    try:
+
+    with _part("car_racing_raw_pixels"):
         from srl_tpu.envs.car_racing import CarRacingEnv
 
         steps, dt = bench_env(
@@ -152,107 +280,231 @@ def main():
             n_iters=3,
         )
         parts["car_racing_raw_pixels"] = steps / dt
-    except Exception:
-        pass
 
-    # Full PPO training loop (rollout + GAE + 4x4 minibatch SGD, all in one
+    # ---- full PPO training loop (rollout + GAE + 4x4 minibatch SGD in one
     # jit) — the reference's other headline is 1M steps/hour (~278 steps/s)
-    # for this exact configuration class (README.md:5).
-    try:
+    # for this configuration class (README.md:5). Dispatch-sensitive:
+    # batch-size probe + median-of-3 windows.
+    with _part("ppo2_training_full_loop"):
         from srl_tpu.agents.ppo import PPO2, PPOConfig
         from srl_tpu.envs.mobile_robot import MobileRobotEnv
 
-        # 4096 envs measured best (2048: 1.7M, 4096: 1.9M, 8192: 1.6M
-        # steps/s, r4 probes — bigger minibatch matmuls up to the point
-        # where the rollout slab's HBM traffic dominates).
-        n_loop = 4096
-        loop_steps = 128 * n_loop * 16  # 16 updates per timed call: the
-        # per-call dispatch jitter on the tunneled host made 8-update
-        # windows swing 1.3-1.9M steps/s between runs
-        agent = PPO2(
-            env=MobileRobotEnv(srl_model="ground_truth"),
-            num_envs=n_loop,
-            config=PPOConfig(n_steps=128),
+        def make_agent(n):
+            return PPO2(
+                env=MobileRobotEnv(srl_model="ground_truth"),
+                num_envs=n,
+                config=PPOConfig(n_steps=128),
+            )
+
+        # Probe the batch size under TODAY'S host conditions (the optimum
+        # is host-dispatch-dependent; quiet-host probes said 4096 but a
+        # noisy driver host can invert the ranking).
+        agents = {}
+        probe_rates = {}
+        for n in (2048, 4096, 8192):
+            agent = make_agent(n)
+            w = 128 * n * 4  # short probe window: 4 updates
+            agent.learn(total_timesteps=w, seed=0)  # compile + warm
+            t0 = time.perf_counter()
+            agent.learn(total_timesteps=w, seed=0)
+            probe_rates[n] = w / (time.perf_counter() - t0)
+            agents[n] = agent
+        best_n = max(probe_rates, key=probe_rates.get)
+        probes["ppo2_training_full_loop"] = {
+            "probed": {str(n): round(r, 1) for n, r in probe_rates.items()},
+            "chosen_num_envs": best_n,
+        }
+
+        agent = agents[best_n]
+        loop_steps = 128 * best_n * 16  # 16-update windows (r4: shorter
+        # windows underread by up to 25% under dispatch jitter)
+        agent.learn(total_timesteps=loop_steps, seed=0)  # re-warm horizon
+        _median_windows(
+            "ppo2_training_full_loop",
+            lambda: _ppo_window(agent, loop_steps),
         )
-        # Warm up with the same shape (compile), then time the cached call.
-        agent.learn(total_timesteps=loop_steps, seed=0)
-        t0 = time.perf_counter()
-        agent.learn(total_timesteps=loop_steps, seed=0)
-        dt = time.perf_counter() - t0
-        parts["ppo2_training_full_loop"] = loop_steps / dt
 
         # Fused mode: 8 whole updates scanned inside ONE jit call
         # (--updates-per-call; host<->device sync once per chunk instead of
-        # per update) — the TPU-idiomatic training configuration.
-        agent.learn(total_timesteps=loop_steps, seed=0, updates_per_call=8)
-        t0 = time.perf_counter()
-        agent.learn(total_timesteps=loop_steps, seed=0, updates_per_call=8)
-        dt = time.perf_counter() - t0
-        parts["ppo2_training_full_loop_fused8"] = loop_steps / dt
-    except Exception:
-        pass
+        # per update). The fused-vs-unfused verdict is read off MEDIANS.
+        with _part("ppo2_training_full_loop_fused8"):
+            agent.learn(total_timesteps=loop_steps, seed=0,
+                        updates_per_call=8)  # compile + warm
+            _median_windows(
+                "ppo2_training_full_loop_fused8",
+                lambda: _ppo_window(agent, loop_steps, updates_per_call=8),
+            )
 
-    # Full PPO training loop FROM PIXELS: per-step 224x224x3 Kuka render +
-    # Nature-CNN policy + 4x4 minibatch update, all fused in one jit — the
-    # reference's raw_pixels pipeline (README.md:5 headline, CnnPolicy
-    # selection base_classes.py:227-235) whose env side alone ran at
-    # 250 FPS.
-    try:
+    # ---- full PPO training loop FROM PIXELS: per-step Kuka render + Nature
+    # CNN policy + minibatch update fused in one jit (README.md:5 headline,
+    # CnnPolicy selection base_classes.py:227-235; the reference's env side
+    # alone ran at 250 FPS). recompute_obs stores ~100 B/env states instead
+    # of the [T*N, 224, 224, 3] slab and re-renders per minibatch
+    # (bit-identical updates, tests/test_ppo.py), breaking the 16 GB wall
+    # that capped round 4 at 256 envs.
+    with _part("ppo2_training_full_loop_pixels"):
         from srl_tpu.agents.ppo import PPO2, PPOConfig
         from srl_tpu.envs.kuka import KukaButtonEnv
 
-        # 256 envs fit since the PPO update stopped materializing a full
-        # shuffled copy of the uint8 rollout slab (per-minibatch index
-        # gathers instead): 13.9k steps/s measured quiet-host (bf16 fc512;
-        # 384 envs OOMs HBM, 512 crashes the tunnel's remote compiler).
-        agent = PPO2(
-            env=KukaButtonEnv(srl_model="raw_pixels"),
-            num_envs=256,
-            config=PPOConfig(n_steps=128),
+        px_agents = {}
+        px_rates = {}
+        for n, recompute in ((256, False), (512, True), (1024, True)):
+            try:
+                agent = PPO2(
+                    env=KukaButtonEnv(srl_model="raw_pixels", render_scale=2),
+                    num_envs=n,
+                    config=PPOConfig(n_steps=128),
+                    recompute_obs=recompute,
+                )
+                w = 128 * n * 2  # 2-update probe
+                agent.learn(total_timesteps=w, seed=0)
+                t0 = time.perf_counter()
+                agent.learn(total_timesteps=w, seed=0)
+                px_rates[(n, recompute)] = w / (time.perf_counter() - t0)
+                px_agents[(n, recompute)] = agent
+            except Exception as e:
+                parts_errors[f"pixels_probe_{n}"] = repr(e)
+        assert px_rates, "every pixel-loop configuration failed"
+        best = max(px_rates, key=px_rates.get)
+        probes["ppo2_training_full_loop_pixels"] = {
+            "probed": {
+                f"{n}{'_recompute' if r else ''}": round(v, 1)
+                for (n, r), v in px_rates.items()
+            },
+            "chosen_num_envs": best[0],
+            "recompute_obs": best[1],
+        }
+        agent = px_agents[best]
+        loop_steps = 128 * best[0] * 8  # 8-update windows (r4: 3-update
+        # windows underread the pixel loop by ~25%)
+        agent.learn(total_timesteps=loop_steps, seed=0)  # re-warm horizon
+        _median_windows(
+            "ppo2_training_full_loop_pixels",
+            lambda: _ppo_window(agent, loop_steps),
         )
-        # Warm with the SAME horizon as the timed call: the lr-anneal
-        # schedule (and therefore the cached jitted step) is keyed on the
-        # update count, so equal horizons make the timed learn() a pure
-        # cache-hit steady-state measurement.
-        # 8-update timing window: the 3-update one underread by ~25%
-        # (12.3k vs 15.9k steps/s measured back-to-back, r4).
-        agent.learn(total_timesteps=128 * 256 * 8, seed=0)  # compile+warm
-        t0 = time.perf_counter()
-        agent.learn(total_timesteps=128 * 256 * 8, seed=0)
-        dt = time.perf_counter() - t0
-        parts["ppo2_training_full_loop_pixels"] = 128 * 256 * 8 / dt
-    except Exception:
-        pass
+        # CNN FLOPs per env step: 1 rollout fwd + noptepochs x (fwd + ~2x
+        # bwd) minibatch passes = (1 + 3*4) forward-equivalents. Renderer
+        # (VPU) and GAE FLOPs excluded — this meters the MXU-bound CNN work.
+        _record_mfu(
+            "ppo2_training_full_loop_pixels",
+            nature_cnn_fwd_flops() * (1 + 3 * 4),
+        )
 
-    # SRL encoder training (the srl_zoo capability, on-device): autoencoder
-    # fit over synthetic 224x224 frames, reported as images/s through
-    # full fwd+bwd epochs. The reference outsources this to the PyTorch
-    # srl_zoo submodule on GPU (no published number).
-    try:
-        import numpy as np
-
-        from srl_tpu.srl.trainer import SRLTrainer
-
+    # ---- SRL training (the srl_zoo capability, on-device): images/s
+    # through full fwd+bwd epochs over 2048 synthetic 224x224 frames. The
+    # reference outsources this to the PyTorch srl_zoo submodule on GPU (no
+    # published number). Three loss families with different cost profiles:
+    # autoencoder (enc+dec), robotic_priors (pairwise/sequence terms,
+    # encoder-only), triplet (multi-view, 3 encoder passes).
+    def _srl_dataset(channels=3):
         rng = np.random.RandomState(0)
         n_img = 2048
-        data = {
-            "observations": rng.randint(0, 255, (n_img, 224, 224, 3), np.uint8),
+        return n_img, {
+            "observations": rng.randint(
+                0, 255, (n_img, 224, 224, channels), np.uint8
+            ),
             "actions": rng.randint(0, 4, n_img).astype(np.int32),
             "rewards": rng.randn(n_img).astype(np.float32),
             "episode_starts": (np.arange(n_img) % 64 == 0),
             "ground_truth_states": rng.randn(n_img, 3).astype(np.float32),
         }
+
+    def _srl_part(name, losses, channels=3, flops_per_img=None):
+        with _part(name):
+            from srl_tpu.srl.trainer import SRLTrainer
+
+            n_img, data = _srl_dataset(channels)
+            trainer = SRLTrainer(state_dim=3, losses=losses,
+                                 obs_shape=(224, 224, 3), n_actions=4)
+            trainer.fit(data, epochs=1, batch_size=128)  # compile+warm
+
+            def window():
+                t0 = time.perf_counter()
+                trainer.fit(data, epochs=2, batch_size=128)
+                return 2 * n_img, time.perf_counter() - t0
+
+            _median_windows(name, window)
+            if flops_per_img is not None:
+                _record_mfu(name, flops_per_img)
+
+    enc = srl_encoder_fwd_flops()
+    dec = srl_decoder_fwd_flops()
+    # fwd+bwd ~= 3x fwd of every pass touching each image.
+    _srl_part("srl_autoencoder_training", ["autoencoder"],
+              flops_per_img=3.0 * (enc + dec))
+    # priors: 2 encoder passes (obs, obs_next) per pair + loss terms.
+    _srl_part("srl_robotic_priors_training", ["robotic_priors"],
+              flops_per_img=3.0 * 2.0 * enc)
+    # triplet: 6-channel two-view frames -> anchor/positive/next encodes.
+    _srl_part("srl_triplet_training", ["triplet"], channels=6,
+              flops_per_img=3.0 * 3.0 * enc)
+
+    # ---- SRLEncodedEnv stepping: render -> encode -> policy act, the
+    # served-encoder hot path (state_representation/models.py:141-193 +
+    # srl_env.py:44-49) that replaces the reference's per-env pipe
+    # round-trip; the exact path whose encoder-skip bug round 4 fixed — a
+    # throughput pin here would have caught it as an anomaly (~40x too
+    # fast with the encoder skipped).
+    with _part("srl_encoded_env_ppo_stepping"):
+        from srl_tpu.core.env import VecEnv
+        from srl_tpu.envs.kuka import KukaButtonEnv
+        from srl_tpu.models.policies import make_policy
+        from srl_tpu.srl.models import SRLNeuralNetwork
+        from srl_tpu.srl.models import SRLEncodedEnv
+        from srl_tpu.srl.trainer import SRLTrainer
+
+        # A freshly initialized encoder has the same serving cost as a
+        # trained one; build it through the trainer for the real payload
+        # shape.
+        n_img, data = _srl_dataset()
+        tr_small = {k: v[:64] for k, v in data.items()}
         trainer = SRLTrainer(state_dim=3, losses=["autoencoder"],
                              obs_shape=(224, 224, 3), n_actions=4)
-        trainer.fit(data, epochs=1, batch_size=128)  # compile+warm
-        t0 = time.perf_counter()
-        trainer.fit(data, epochs=2, batch_size=128)
-        dt = time.perf_counter() - t0
-        parts["srl_autoencoder_training"] = 2 * n_img / dt
-    except Exception:
-        pass
+        trainer.fit(tr_small, epochs=1, batch_size=32)
+        model = SRLNeuralNetwork({
+            "params": trainer.params,
+            "exp_config": {"state-dim": 3, "losses": ["autoencoder"],
+                           "model-type": "custom_cnn",
+                           "obs-shape": [224, 224, 3], "n_actions": 4},
+        })
+        enc_env = SRLEncodedEnv(
+            KukaButtonEnv(srl_model="raw_pixels", render_scale=2), model
+        )
+        n_enc = 512
+        vec = VecEnv(enc_env, n_enc)
+        policy = make_policy(enc_env.action_space,
+                             enc_env.observation_space.shape, "mlp")
+        vstate, obs0 = vec.reset(jax.random.PRNGKey(0))
+        pparams = policy.init(jax.random.PRNGKey(1), obs0)
 
-    value = total_steps / total_time
+        @jax.jit
+        def act_loop(vstate, obs, key):
+            def body(carry, _):
+                vs, obs, k = carry
+                k, sub = jax.random.split(k)
+                dist, _ = policy.apply(pparams, obs)
+                a = dist.sample(sub)
+                vs, tr = vec.step(vs, a)
+                return (vs, tr.obs, k), jnp.sum(tr.reward)
+
+            (vs, obs, _), rs = jax.lax.scan(
+                body, (vstate, obs, key), None, length=32
+            )
+            return vs, obs, jnp.sum(rs) + jnp.sum(obs)
+
+        vstate, obs0, r = act_loop(vstate, obs0, jax.random.PRNGKey(2))
+        float(r)
+
+        def window():
+            t0 = time.perf_counter()
+            nonlocal_state = act_loop(vstate, obs0, jax.random.PRNGKey(3))
+            float(nonlocal_state[2])
+            return n_enc * 32, time.perf_counter() - t0
+
+        _median_windows("srl_encoded_env_ppo_stepping", window)
+        _record_mfu("srl_encoded_env_ppo_stepping", srl_encoder_fwd_flops())
+
+    value = total_steps / max(total_time, 1e-9)
     print(
         json.dumps(
             {
@@ -261,6 +513,10 @@ def main():
                 "unit": "env-steps/s/chip",
                 "vs_baseline": round(value / 250.0, 1),
                 "parts": {k: round(v, 1) for k, v in parts.items()},
+                "parts_detail": parts_detail,
+                "parts_errors": parts_errors,
+                "probes": probes,
+                "mfu": mfu,
             }
         )
     )
