@@ -114,6 +114,13 @@ class PPO2(BaseRLAgent):
             assert not getattr(env, "is_mixed_family", False), (
                 "recompute_obs is not wired for mixed-family batches yet"
             )
+            from srl_tpu.core.frame_stack import FrameStack
+
+            assert not isinstance(env, FrameStack), (
+                "recompute_obs with FrameStack would store the stacked "
+                "frame buffer per step (num_stack x the slab it removes) "
+                "— drop --recompute-obs or --num-stack"
+            )
         self._tx = None
         self._n_updates_hint = 1
 
