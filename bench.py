@@ -46,15 +46,25 @@ mfu = {}
 def _part(name):
     """Decorator-ish context: run fn, record errors instead of swallowing
     them (a part that OOMs or hits a tunnel-compiler crash must be
-    distinguishable from 'not implemented')."""
+    distinguishable from 'not implemented'). Progress goes to stderr so a
+    wedged tunnel compile is attributable to a part."""
+    import sys
 
     class _Ctx:
         def __enter__(self):
+            print(f"[bench] {name} ...", file=sys.stderr, flush=True)
+            self.t0 = time.perf_counter()
             return self
 
         def __exit__(self, etype, e, tb):
+            dt = time.perf_counter() - self.t0
             if e is not None:
                 parts_errors[name] = repr(e)
+                print(f"[bench] {name} ERROR after {dt:.0f}s: {e!r}",
+                      file=sys.stderr, flush=True)
+            else:
+                print(f"[bench] {name} done in {dt:.0f}s",
+                      file=sys.stderr, flush=True)
             return True  # never kill the whole bench
 
     return _Ctx()
@@ -80,12 +90,15 @@ def _median_windows(name, run_window, k=3):
 # ---------------------------------------------------------------------------
 # Analytic model-FLOP estimates (fwd, per frame). bwd ~= 2x fwd.
 # ---------------------------------------------------------------------------
-def nature_cnn_fwd_flops() -> float:
+def nature_cnn_fwd_flops(coarse: bool = False) -> float:
     """Nature-DQN CNN at 224x224x3 (models/policies.py NatureCnnTorso:
-    VALID convs 32x8s4, 64x4s2, 64x3s1, fc512)."""
+    VALID convs 32x8s4, 64x4s2, 64x3s1, fc512). ``coarse``: conv1 runs on
+    the 112x112 image with the block-summed 4x4 s2 kernel (same outputs,
+    4x fewer conv1 FLOPs)."""
     f = 0.0
     o1 = (224 - 8) // 4 + 1  # 55
-    f += 2.0 * o1 * o1 * 32 * 8 * 8 * 3
+    k1 = 4 if coarse else 8
+    f += 2.0 * o1 * o1 * 32 * k1 * k1 * 3
     o2 = (o1 - 4) // 2 + 1  # 26
     f += 2.0 * o2 * o2 * 64 * 4 * 4 * 32
     o3 = (o2 - 3) // 1 + 1  # 24
@@ -348,10 +361,29 @@ def main():
 
         px_agents = {}
         px_rates = {}
-        for n, recompute in ((256, False), (512, True), (1024, True)):
+        # Configs: (num_envs, recompute_obs, coarse_obs). coarse_obs hands
+        # the traced 112x112 image to the policy with the 2x upsample
+        # folded into conv1 (exact identity, models/policies._Conv1) — the
+        # [*, 224, 224, 3] buffers and their multi-GB bf16 HLO temps never
+        # exist, and conv1 does 4x less work. recompute_obs re-renders
+        # minibatches from stored env states instead of keeping the
+        # rollout slab.
+        # Quiet-host round-5 probes: 512-coarse-slab 21.4k, 768-coarse-slab
+        # 21.5k (plateau — update compute is batch-saturated), 1024-coarse-
+        # recompute 18.8k, 512-coarse-recompute 17.1k, fused8 18.8k (slower:
+        # keep per-update dispatch), 1024-slab OOM by 1.6G even with remat.
+        for n, recompute, coarse in (
+            (256, False, False),   # round-4 configuration (slab, 224 obs)
+            (512, False, True),
+            (768, False, True),
+            (1024, True, True),
+        ):
+            tag = (f"{n}{'_recompute' if recompute else ''}"
+                   f"{'_coarse' if coarse else ''}")
             try:
                 agent = PPO2(
-                    env=KukaButtonEnv(srl_model="raw_pixels", render_scale=2),
+                    env=KukaButtonEnv(srl_model="raw_pixels", render_scale=2,
+                                      coarse_obs=coarse),
                     num_envs=n,
                     config=PPOConfig(n_steps=128),
                     recompute_obs=recompute,
@@ -360,23 +392,19 @@ def main():
                 agent.learn(total_timesteps=w, seed=0)
                 t0 = time.perf_counter()
                 agent.learn(total_timesteps=w, seed=0)
-                px_rates[(n, recompute)] = w / (time.perf_counter() - t0)
-                px_agents[(n, recompute)] = agent
+                px_rates[tag] = w / (time.perf_counter() - t0)
+                px_agents[tag] = agent
             except Exception as e:
-                parts_errors[f"pixels_probe_{n}"] = repr(e)
+                parts_errors[f"pixels_probe_{tag}"] = repr(e)
         assert px_rates, "every pixel-loop configuration failed"
         best = max(px_rates, key=px_rates.get)
         probes["ppo2_training_full_loop_pixels"] = {
-            "probed": {
-                f"{n}{'_recompute' if r else ''}": round(v, 1)
-                for (n, r), v in px_rates.items()
-            },
-            "chosen_num_envs": best[0],
-            "recompute_obs": best[1],
+            "probed": {t: round(v, 1) for t, v in px_rates.items()},
+            "chosen": best,
         }
         agent = px_agents[best]
-        loop_steps = 128 * best[0] * 8  # 8-update windows (r4: 3-update
-        # windows underread the pixel loop by ~25%)
+        loop_steps = 128 * agent.num_envs * 8  # 8-update windows (r4:
+        # 3-update windows underread the pixel loop by ~25%)
         agent.learn(total_timesteps=loop_steps, seed=0)  # re-warm horizon
         _median_windows(
             "ppo2_training_full_loop_pixels",
@@ -387,7 +415,7 @@ def main():
         # (VPU) and GAE FLOPs excluded — this meters the MXU-bound CNN work.
         _record_mfu(
             "ppo2_training_full_loop_pixels",
-            nature_cnn_fwd_flops() * (1 + 3 * 4),
+            nature_cnn_fwd_flops(coarse="coarse" in best) * (1 + 3 * 4),
         )
 
     # ---- SRL training (the srl_zoo capability, on-device): images/s

@@ -98,8 +98,12 @@ class PPO2(BaseRLAgent):
         else:
             self.vec_env = VecEnv(env, self.num_envs)
         obs_shape = env.observation_space.shape
+        # Coarse-obs envs (KukaButtonEnv(coarse_obs=True)) hand the traced
+        # half-resolution image to the policy; the CNN folds the 2x
+        # upsample into conv1 exactly (models/policies._Conv1).
         self.policy: ActorCritic = make_policy(
-            env.action_space, obs_shape, self.policy_kind
+            env.action_space, obs_shape, self.policy_kind,
+            input_scale=getattr(env, "obs_coarse_scale", 1),
         )
         # VecNormalize only for non-pixel observations (utils.py:222-227).
         if normalize_obs is None:
@@ -173,9 +177,14 @@ class PPO2(BaseRLAgent):
         obs, actions, old_logp, old_values, advantages, returns = minibatch
         if self.recompute_obs:
             # `obs` is the gathered env-state pytree: render this
-            # minibatch's frames on the fly (no gradient flows into the
-            # renderer — the frames are inputs, not functions of params).
-            obs = self.vec_env._observe(obs)
+            # minibatch's frames on the fly. stop_gradient is load-bearing:
+            # without it value_and_grad linearizes THROUGH the renderer
+            # (jvp taping) and XLA keeps the upsample's [mb, H, s, W, s, 3]
+            # broadcast alive as an HLO temp — measured 12.25 GB at
+            # mb=32768, the difference between fitting 1024 envs and OOM.
+            # No gradient flows into the render anyway (frames are inputs,
+            # not functions of params).
+            obs = jax.lax.stop_gradient(self.vec_env._observe(obs))
         apply_fn = self.policy.apply
         if self.remat_policy:
             apply_fn = jax.checkpoint(apply_fn)

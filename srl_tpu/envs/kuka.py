@@ -147,6 +147,7 @@ class KukaButtonEnv(TpuEnv):
         noise_std: float = NOISE_STD,
         null_space: bool = False,
         render_scale: int = 1,
+        coarse_obs: bool = False,
     ):
         # Coarse-trace factor for the ray-traced pixel paths: rays are
         # traced at (H/render_scale, W/render_scale) and nearest-upsampled
@@ -160,6 +161,17 @@ class KukaButtonEnv(TpuEnv):
         # scales, so the fidelity choice must be the caller's.
         assert RENDER_HEIGHT % render_scale == 0, "scale must divide 224"
         self.render_scale = int(render_scale)
+        # coarse_obs hands the TRACED resolution (H/s, W/s) to the policy as
+        # the observation and skips the upsample entirely; a CNN policy
+        # folds the nearest-upsample into conv1 exactly (block-summed
+        # kernel, models/policies.py) so the math matches the 224x224
+        # coarse-trace observation bit-for-nothing-lost while the
+        # [N, 224, 224, 3] buffers never exist. Requires render_scale > 1.
+        assert not coarse_obs or render_scale > 1, (
+            "coarse_obs needs render_scale > 1"
+        )
+        self.coarse_obs = bool(coarse_obs)
+        self.obs_coarse_scale = self.render_scale if self.coarse_obs else 1
         self.null_space = null_space
         self.n_buttons = n_buttons
         self.moving_button = moving_button
@@ -202,7 +214,10 @@ class KukaButtonEnv(TpuEnv):
     def observation_space(self) -> Space:
         if self.srl_model == "raw_pixels":
             channels = 6 if self.multi_view else 3
-            return Box(0, 255, (RENDER_HEIGHT, RENDER_WIDTH, channels), np.uint8)
+            s = self.obs_coarse_scale
+            return Box(0, 255,
+                       (RENDER_HEIGHT // s, RENDER_WIDTH // s, channels),
+                       np.uint8)
         dims = {
             "ground_truth": 3,
             "joints": 14,

@@ -74,6 +74,12 @@ def parse_args(argv=None):
                         "(Kuka): 1 = exact 224x224 parity render (default), "
                         "2 = trace at 112 + upsample (~3.5x faster, >=90%% "
                         "of pixels within 8 of exact)")
+    parser.add_argument("--coarse-obs", action="store_true", default=False,
+                        help="With --render-scale 2: hand the traced "
+                        "112x112 image to the CNN policy directly, folding "
+                        "the 2x upsample into conv1 (exact same math, no "
+                        "224x224 buffers anywhere — the fastest pixel "
+                        "training config)")
     parser.add_argument("--action-repeat", type=int, default=1)
     parser.add_argument("--srl-config-file", type=str,
                         default="config/srl_models.yaml")
@@ -399,6 +405,7 @@ def main(argv=None):
         "random_target": args.random_target,
         "action_repeat": args.action_repeat,
         "render_scale": args.render_scale,
+        "coarse_obs": args.coarse_obs,
     }
     # SAC/DDPG are continuous-only: force it.
     if ActionType.DISCRETE not in action_types:

@@ -42,10 +42,51 @@ class MlpTorso(nn.Module):
         return x
 
 
+class _Conv1(nn.Module):
+    """conv1 of the Nature CNN with an optional fused 2x nearest-upsample.
+
+    Parameters are ALWAYS the full-resolution [8, 8, C, 32] kernel (same
+    names/shapes as the plain ``nn.Conv`` it replaces, so checkpoints
+    interchange). With ``input_scale=2`` the input is the COARSE half-res
+    image and the layer exploits the exact identity
+
+        conv(upsample2x(x), k=8, s=4) == conv(x, k'=4, s=2)
+        with k'[m, n] = sum of k[2m+{0,1}, 2n+{0,1}]
+
+    (each output pixel of the strided conv reads every coarse pixel through
+    the 2x2 block of duplicated samples), so the [*, 224, 224, C] upsampled
+    image — and its multi-GB bf16 HLO temps in minibatch updates — never
+    exists. Gradients flow through the block-sum back to the full kernel."""
+
+    input_scale: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.orthogonal(ORTHO_GAIN), (8, 8, x.shape[-1], 32)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (32,))
+        if self.input_scale == 1:
+            k, strides = kernel, (4, 4)
+        else:
+            assert self.input_scale == 2, "only 2x fused upsample supported"
+            k = kernel.reshape(4, 2, 4, 2, x.shape[-1], 32).sum(axis=(1, 3))
+            strides = (2, 2)
+        y = jax.lax.conv_general_dilated(
+            x, k.astype(x.dtype), window_strides=strides, padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(x.dtype)
+
+
 class NatureCnnTorso(nn.Module):
     """Nature-DQN CNN (stable-baselines CnnPolicy): 32x8s4, 64x4s2, 64x3s1,
     fc512. Input: uint8 HWC images, scaled by /255 on device; conv compute in
-    bfloat16 for the MXU."""
+    bfloat16 for the MXU. ``input_scale=2`` consumes half-resolution images
+    with the 2x upsample folded into conv1 (see _Conv1); all downstream
+    shapes and parameters are identical to the full-resolution torso."""
+
+    input_scale: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -60,7 +101,7 @@ class NatureCnnTorso(nn.Module):
             dtype=jnp.bfloat16,
             name=name,
         )
-        x = nn.relu(conv(32, 8, 4, "c1")(x))
+        x = nn.relu(_Conv1(input_scale=self.input_scale, name="c1")(x))
         x = nn.relu(conv(64, 4, 2, "c2")(x))
         x = nn.relu(conv(64, 3, 1, "c3")(x))
         x = x.reshape((x.shape[0], -1))
@@ -82,10 +123,12 @@ class ActorCritic(nn.Module):
 
     action_space: Space
     torso: str = "mlp"  # "mlp" | "cnn"
+    input_scale: int = 1  # cnn only: coarse-obs factor folded into conv1
 
     @nn.compact
     def __call__(self, obs):
-        torso = MlpTorso() if self.torso == "mlp" else NatureCnnTorso()
+        torso = (MlpTorso() if self.torso == "mlp"
+                 else NatureCnnTorso(input_scale=self.input_scale))
         latent = torso(obs)
         value = _dense(1, scale=1.0, name="vf")(latent)[..., 0]
         if isinstance(self.action_space, Discrete):
@@ -97,7 +140,8 @@ class ActorCritic(nn.Module):
         return DiagGaussian(mean=mean, log_std=jnp.broadcast_to(log_std, mean.shape)), value
 
 
-def make_policy(action_space: Space, obs_shape, policy: str = "mlp") -> ActorCritic:
+def make_policy(action_space: Space, obs_shape, policy: str = "mlp",
+                input_scale: int = 1) -> ActorCritic:
     """Policy factory mirroring the cnn/mlp selection in
     base_classes.py:227-246. Recurrent kinds (lstm/lnlstm/cnnlstm) live in
     ``models.recurrent`` behind the Recurrent* agent classes
@@ -115,4 +159,5 @@ def make_policy(action_space: Space, obs_shape, policy: str = "mlp") -> ActorCri
         torso = "mlp"
     else:
         raise ValueError(f"unknown policy kind '{policy}' (mlp|cnn|auto)")
-    return ActorCritic(action_space=action_space, torso=torso)
+    return ActorCritic(action_space=action_space, torso=torso,
+                       input_scale=input_scale if torso == "cnn" else 1)

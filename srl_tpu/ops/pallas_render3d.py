@@ -452,8 +452,8 @@ def _camera_planes(which: str, height: int, width: int):
     )
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def _render_batch(config, which, scene):
+@partial(jax.jit, static_argnums=(0, 1, 3))
+def _render_batch(config, which, scene, upsample=True):
     (n_buttons, n_pts, n_distract, z_table, base_radius, base_top,
      cap_radius, cap_top, height, width, scale) = config
     trace_h, trace_w = height // scale, width // scale
@@ -500,9 +500,13 @@ def _render_batch(config, which, scene):
         jnp.asarray(dz_np).reshape(lh, lw)[None],
         jnp.asarray(bg)[None],
     )
-    # Packed [N, 3, lh, lw] -> [N, trace_h, trace_w, 3] uint8 -> upsample.
+    # Packed [N, 3, lh, lw] -> [N, trace_h, trace_w, 3] uint8 -> upsample
+    # (skipped for coarse-obs envs, which hand the traced resolution
+    # straight to a pooled-conv1 policy — see models/policies.py).
     out = out.reshape(n, 3, trace_h, trace_w)
     img = jnp.transpose(out, (0, 2, 3, 1))
+    if not upsample:
+        return img
     return r3.upsample_nearest(img, scale)
 
 
@@ -547,8 +551,9 @@ def render_kuka_pallas(env, states) -> jax.Array:
     `states` must be a batched (vmapped-layout) KukaState.
     """
     config, scene = _scene_table(env, states)
-    img = _render_batch(config, "main", scene)
+    upsample = getattr(env, "obs_coarse_scale", 1) == 1
+    img = _render_batch(config, "main", scene, upsample)
     if env.multi_view:
-        img2 = _render_batch(config, "aux", scene)
+        img2 = _render_batch(config, "aux", scene, upsample)
         return jnp.concatenate([img, img2], axis=-1)
     return img

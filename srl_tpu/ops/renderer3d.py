@@ -267,6 +267,10 @@ def _render_kuka_view(env, state, which: str) -> jax.Array:
 
     img = _fold(prims, eye, dirs, SKY_COLOR)
     img = jnp.clip(img * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    if getattr(env, "obs_coarse_scale", 1) > 1:
+        # Coarse-obs mode: the traced resolution IS the observation; the
+        # policy folds the 2x upsample into conv1 (models/policies.py).
+        return img
     return upsample_nearest(img, scale)
 
 

@@ -56,6 +56,7 @@ def load_config_and_setup(log_dir: str):
         "random_target": train_args.get("random_target", False),
         "action_repeat": train_args.get("action_repeat", 1),
         "render_scale": train_args.get("render_scale", 1),
+        "coarse_obs": train_args.get("coarse_obs", False),
     }
 
     # Learned SRL model: re-resolve the encoder checkpoint used at train time.
