@@ -437,19 +437,48 @@ def main():
             "ground_truth_states": rng.randn(n_img, 3).astype(np.float32),
         }
 
-    def _srl_part(name, losses, channels=3, flops_per_img=None):
+    # Rates are metered on fit()'s ``images_trained`` (drop-last epoch
+    # truncation means the dataset size overcounts — by 25% at batch 512
+    # over 2016 pairs). The best (batch_size, updates_per_call) is
+    # host-condition-dependent (trainer.fit fuses epoch-sized chunks by
+    # default, so the only live knob is the batch size; each probed
+    # config costs a remote compile of its own step graph, so the probe
+    # is kept to two) — probe once on the AE part and reuse the winner
+    # for all three loss families (they share the dispatch profile;
+    # quiet-host v5e: b128 ~21k, b512 ~24k img/s).
+    srl_cfg = {"batch_size": 128, "updates_per_call": None}
+
+    def _srl_part(name, losses, channels=3, flops_per_img=None, probe=False):
         with _part(name):
             from srl_tpu.srl.trainer import SRLTrainer
 
             n_img, data = _srl_dataset(channels)
             trainer = SRLTrainer(state_dim=3, losses=losses,
                                  obs_shape=(224, 224, 3), n_actions=4)
-            trainer.fit(data, epochs=1, batch_size=128)  # compile+warm
+            if probe:
+                rates = {}
+                for bs, k in ((128, None), (512, None)):
+                    trainer.fit(data, epochs=1, batch_size=bs,
+                                updates_per_call=k)  # compile + warm
+                    t0 = time.perf_counter()
+                    out = trainer.fit(data, epochs=1, batch_size=bs,
+                                      updates_per_call=k)
+                    rates[(bs, k)] = (
+                        out["images_trained"] / (time.perf_counter() - t0)
+                    )
+                bs, k = max(rates, key=rates.get)
+                srl_cfg["batch_size"], srl_cfg["updates_per_call"] = bs, k
+                probes["srl_training"] = {
+                    "probed": {f"b{b}_k{k_}": round(r, 1)
+                               for (b, k_), r in rates.items()},
+                    "chosen": f"b{bs}_k{k}",
+                }
+            trainer.fit(data, epochs=1, **srl_cfg)  # compile+warm
 
             def window():
                 t0 = time.perf_counter()
-                trainer.fit(data, epochs=2, batch_size=128)
-                return 2 * n_img, time.perf_counter() - t0
+                out = trainer.fit(data, epochs=2, **srl_cfg)
+                return out["images_trained"], time.perf_counter() - t0
 
             _median_windows(name, window)
             if flops_per_img is not None:
@@ -459,7 +488,7 @@ def main():
     dec = srl_decoder_fwd_flops()
     # fwd+bwd ~= 3x fwd of every pass touching each image.
     _srl_part("srl_autoencoder_training", ["autoencoder"],
-              flops_per_img=3.0 * (enc + dec))
+              flops_per_img=3.0 * (enc + dec), probe=True)
     # priors: 2 encoder passes (obs, obs_next) per pair + loss terms.
     _srl_part("srl_robotic_priors_training", ["robotic_priors"],
               flops_per_img=3.0 * 2.0 * enc)
