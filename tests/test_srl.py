@@ -107,6 +107,37 @@ def test_autoencoder_loss_decreases(small_dataset, tmp_path):
 
 
 @pytest.mark.fast
+def test_fit_images_trained_and_chunking_equivalence():
+    """fit() reports the images actually trained (drop-last epoch
+    truncation) and dispatch chunking is pure scheduling: the default
+    epoch-fused mode and per-minibatch updates_per_call=1 run the same
+    minibatches with the same keys (derived from the global minibatch
+    index, not the chunk layout), so histories match."""
+    rng = np.random.RandomState(0)
+    n = 100
+    data = {
+        "observations": rng.randint(0, 255, (n, 8, 8, 3), np.uint8),
+        "actions": rng.randint(0, 4, n).astype(np.int32),
+        "rewards": rng.randn(n).astype(np.float32),
+        "episode_starts": (np.arange(n) % 20 == 0),
+        "ground_truth_states": rng.randn(n, 2).astype(np.float32),
+    }
+    # 100 frames, 5 episodes -> 95 transition pairs; batch 16 -> 5 full
+    # minibatches of 16 per epoch, 15 pairs dropped.
+    kw = dict(state_dim=2, losses=["autoencoder"], obs_shape=(8, 8, 3),
+              n_actions=4)
+    fused = SRLTrainer(**kw).fit(data, epochs=3, batch_size=16)
+    assert fused["images_trained"] == 3 * 5 * 16
+    per_mb = SRLTrainer(**kw).fit(data, epochs=3, batch_size=16,
+                                  updates_per_call=1)
+    assert per_mb["images_trained"] == fused["images_trained"]
+    for a, b in zip(fused["history"], per_mb["history"]):
+        for key in a:
+            np.testing.assert_allclose(a[key], b[key], rtol=1e-5,
+                                       err_msg=f"epoch log {key} diverged")
+
+
+@pytest.mark.fast
 def test_pca_baseline(small_dataset, tmp_path):
     data, _ = small_dataset
     pca = fit_pca(data["observations"][:64], state_dim=3)
