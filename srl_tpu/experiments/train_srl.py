@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import time
 
 import numpy as np
 
@@ -66,11 +67,20 @@ def train_srl_model(
         # Random frozen encoder: init only, no training.
         trainer.fit(data, epochs=0, batch_size=batch_size)
     else:
-        trainer.fit(
+        t0 = time.perf_counter()
+        out = trainer.fit(
             data, epochs=epochs, batch_size=batch_size,
             log_fn=lambda e, logs: printYellow(
                 f"epoch {e}: " + " ".join(f"{k}={v:.4f}" for k, v in logs.items())
             ),
+        )
+        dt = time.perf_counter() - t0
+        # Throughput printout (the reference logs FPS the same way,
+        # random_agent.py:37-41); images_trained excludes pairs dropped by
+        # epoch truncation, so this is the honest rate.
+        printGreen(
+            f"trained on {out['images_trained']} images in {dt:.1f}s "
+            f"({out['images_trained'] / max(dt, 1e-9):.0f} img/s)"
         )
     path = trainer.save(log_dir)
     printGreen(f"SRL model '{srl_model}' saved to {path}")
